@@ -1,0 +1,71 @@
+"""Connected components over the verified duplicate-pair graph via iterative
+min-label propagation (union-find by repeated "adopt the smallest label among
+yourself and your neighbors").
+
+Convergence: each iteration is one round of label broadcast, so the loop
+terminates after at most graph-diameter iterations; duplicate clusters are
+near-cliques (LSH pairs), so diameter is tiny in practice. Each iteration is
+one shuffle join + one shuffled groupBy; `localCheckpoint` after every round
+truncates lineage so plans don't grow (SURVEY.md §7 hard part (b)).
+
+Labels are the document ids themselves (min over the cluster picks a
+deterministic canonical member). Works for any orderable id type; callers at
+extreme scale should pass a compact id column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "url_a",
+    dst: str = "url_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """edges(src, dst) → (url, cluster_id) for every vertex appearing in
+    edges; cluster_id is the minimum vertex id of the component."""
+    spark = edges.sparkSession
+
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    )
+    sym = sym.repartition("u").localCheckpoint()
+
+    labels = (
+        sym.select("u")
+        .distinct()
+        .withColumn("label", F.col("u"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iterations):
+        # smallest label visible from each vertex through one hop
+        nbr_min = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.v") == F.col("l.u"), "inner")
+            .select(F.col("e.u").alias("nu"), F.col("l.label").alias("label"))
+            .groupBy("nu")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.alias("l")
+            .join(nbr_min.alias("n"), F.col("l.u") == F.col("n.nu"), "left")
+            .select(
+                F.col("l.u").alias("u"),
+                F.least(
+                    F.col("l.label"),
+                    F.coalesce(F.col("n.nbr_label"), F.col("l.label")),
+                ).alias("new_label"),
+                F.col("l.label").alias("old_label"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.where(F.col("new_label") < F.col("old_label")).limit(1)
+        labels = new_labels.select("u", F.col("new_label").alias("label"))
+        if changed.count() == 0:
+            break
+
+    return labels.select(F.col("u").alias("url"), F.col("label").alias("cluster_id"))

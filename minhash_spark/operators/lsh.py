@@ -1,0 +1,88 @@
+"""LSH banding + candidate-pair generation.
+
+Banding slices each signature into `bands` groups of `rows` values and keys
+each slice with xxhash64 — documents agreeing on any band become a candidate
+pair (standard MinHash-LSH; the signature semantics underneath are the
+reference's, SURVEY.md §2.3). All JVM-side: slice/transform/posexplode/
+xxhash64 are built-in expressions inside whole-stage codegen; no Python.
+
+Scale/skew design:
+- The candidate join is a self equi-join on (band_id, band_key) — shuffle
+  partitioned by the key, AQE skew-split enabled (session.py).
+- Boilerplate pages collapse into mega-buckets ⇒ O(m²) pair blowup. Buckets
+  larger than cfg.max_bucket_size are excluded from pair enumeration (their
+  overflow is reported via `bucket_stats`) — the standard cap used by
+  web-dedup pipelines; the exact-dup path still catches identical boilerplate.
+- Pair dedup across bands is a groupBy on (url_a, url_b) — map-side partial
+  aggregation keeps the shuffle small (the same partial→final algebra as the
+  reference's FCDS local→global merge, SURVEY.md §2.1 op#9/10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+
+
+def bands_table(
+    sig_df: DataFrame, cfg: DedupConfig, id_col: str = "url", sig_col: str = "minhash"
+) -> DataFrame:
+    """(id, minhash) → (id, band_id, band_key). band_key is xxhash64 over the
+    band's `rows` signature values plus the band index (so equal slices in
+    different bands never collide into one bucket)."""
+    rows = cfg.rows
+    band_slices = F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
+        lambda i: F.slice(F.col(sig_col), i * rows + 1, rows),
+    )
+    return (
+        sig_df.select(id_col, F.posexplode(band_slices).alias("band_id", "band_sig"))
+        .select(
+            id_col,
+            "band_id",
+            F.xxhash64(F.col("band_id"), F.col("band_sig")).alias("band_key"),
+        )
+    )
+
+
+def bucket_stats(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Bucket-size distribution + overflow accounting for the metrics table."""
+    sizes = bands.groupBy("band_id", "band_key").count()
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("count").alias("max_bucket"),
+        F.sum(F.when(F.col("count") > cfg.max_bucket_size, 1).otherwise(0)).alias(
+            "n_capped_buckets"
+        ),
+        F.sum(
+            F.when(F.col("count") > cfg.max_bucket_size, F.col("count")).otherwise(0)
+        ).alias("docs_in_capped_buckets"),
+    )
+
+
+def candidate_pairs(
+    bands: DataFrame, cfg: DedupConfig, id_col: str = "url"
+) -> DataFrame:
+    """Self-join on (band_id, band_key) → distinct (url_a, url_b) with
+    url_a < url_b. Oversized buckets are dropped before the join (skew cap)."""
+    sizes = bands.groupBy("band_id", "band_key").count()
+    keep = sizes.filter(F.col("count") <= cfg.max_bucket_size).select(
+        "band_id", "band_key"
+    )
+    pruned = bands.join(keep, ["band_id", "band_key"])
+
+    left = pruned.select(
+        "band_id", "band_key", F.col(id_col).alias("url_a")
+    )
+    right = pruned.select(
+        "band_id", "band_key", F.col(id_col).alias("url_b")
+    )
+    pairs = (
+        left.join(right, ["band_id", "band_key"])
+        .where(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b")
+    )
+    # distinct across bands: partial-agg-friendly groupBy
+    return pairs.groupBy("url_a", "url_b").agg(F.lit(1).alias("_one")).drop("_one")

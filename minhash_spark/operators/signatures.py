@@ -1,0 +1,52 @@
+"""MinHash signature stage — the distributed counterpart of the reference's
+insert loop (basic_insert over every set element,
+/root/reference/src/utils/utils.c:3-33) collapsed into one Arrow-batched
+pandas UDF per document: hash the document's shingle set against all
+`sketch_size` functions and take column minima.
+
+Scale notes: the UDF is the only Python in the hot path and is fully
+vectorized numpy inside (no per-row Python arithmetic); hash-function
+coefficients (≤ a few KiB) travel by closure capture to every task —
+the Spark analog of the reference's shared `hash_functions` table. The
+signature is `array<long>` (values < 2^31-1 fit exactly; empty cells use
+2^63-1 so JVM `least()` merges preserve min semantics — config.SIG_INFTY_LONG).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from ..config import DedupConfig
+from ..functions.kernels import min_sketch_batch, sketch_to_long
+from ..functions.shingles import shingle_fn
+
+
+def minhash_signature_udf(cfg: DedupConfig):
+    """Build the signature pandas UDF for a config. Coefficients are drawn
+    once on the driver (deterministic — cfg.seed) and captured in the
+    closure, so every executor hashes with the identical table (the
+    determinism invariant of test/test_parallel_lock.c:47-57)."""
+    mh = cfg.minhash
+    coeffs = mh.coefficients()
+    shingler = shingle_fn(cfg.shingle_mode, cfg.shingle_size)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        sets = [shingler(t) for t in texts]
+        sketches = min_sketch_batch(sets, mh, coeffs)
+        return pd.Series(list(sketch_to_long(sketches)))
+
+    return _sig
+
+
+def with_minhash_signature(
+    df: DataFrame, cfg: DedupConfig, text_col: str = "text", out_col: str = "minhash"
+) -> DataFrame:
+    """Append the MinHash signature column. Column pruning matters at scale:
+    select only what downstream needs *before* calling this so the scan never
+    reads e.g. the html binary column."""
+    return df.withColumn(out_col, minhash_signature_udf(cfg)(F.col(text_col)))

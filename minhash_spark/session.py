@@ -10,6 +10,8 @@ op#9), and shuffle partitions sized to cores.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -49,4 +51,28 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship minhash_spark to executors (the `spark-submit --py-files`
+    equivalent, done programmatically): zip the package and addPyFile it.
+    Without this, pandas-UDF closures referencing the package fail to
+    unpickle on executor Python workers that don't share the driver's cwd."""
+    import minhash_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(minhash_spark.__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "minhash_spark_pyfiles.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "minhash_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)

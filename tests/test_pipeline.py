@@ -1,0 +1,173 @@
+"""End-to-end pipeline tests on the synthetic web-page corpus — the
+pipeline-level mirror of the reference's differential validation
+(/root/reference/test/test_parallel_lock.c:47-57): distributed signatures must
+equal the locally-computed ones cell-for-cell, recall of oracle-derived dup
+pairs ≥ 0.99, clusters must equal a local union-find over the same pairs.
+
+Evidence chain: tests/test_kernels.py proves kernels == serial oracle;
+here we prove Spark output == kernels; therefore Spark == serial oracle.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from minhash_spark.config import DedupConfig, MinHashConfig
+from minhash_spark.functions.kernels import min_sketch_batch, sketch_to_long
+from minhash_spark.functions.shingles import shingle_fn
+from minhash_spark.pipeline import DedupPipeline
+from minhash_spark.sources.pages import generate_corpus
+
+
+CFG = DedupConfig(minhash=MinHashConfig(sketch_size=128, seed=42))
+N_PAGES = 800
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(N_PAGES, seed=42)
+
+
+@pytest.fixture(scope="module")
+def local_sigs(corpus):
+    """Ground-truth signatures via the (oracle-equivalent) numpy kernels."""
+    pages, _, _ = corpus
+    shingler = shingle_fn(CFG.shingle_mode, CFG.shingle_size)
+    sets = [shingler(t) for t in pages["text"]]
+    sk = min_sketch_batch(sets, CFG.minhash)
+    return dict(zip(pages["url"], sketch_to_long(sk)))
+
+
+@pytest.fixture(scope="module")
+def oracle_pairs(corpus, local_sigs):
+    """All pairs with estimated Jaccard ≥ threshold, by exhaustive O(n²)
+    comparison of oracle signatures — the dup-pair recall gate."""
+    pages, _, _ = corpus
+    urls = list(pages["url"])
+    S = np.stack([local_sigs[u] for u in urls])
+    thr = CFG.jaccard_threshold
+    out = set()
+    block = 256
+    for i0 in range(0, len(urls), block):
+        A = S[i0 : i0 + block]
+        eq = (A[:, None, :] == S[None, :, :]).mean(axis=2)
+        for i, j in zip(*np.where(eq >= thr)):
+            gi = i0 + i
+            if gi < j:
+                out.add(tuple(sorted((urls[gi], urls[j]))))
+    return out
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus, tmp_path_factory):
+    pages, _, _ = corpus
+    out_dir = str(tmp_path_factory.mktemp("pipe"))
+    df = spark.createDataFrame(pages)
+    return DedupPipeline(spark, CFG, out_dir).run(df)
+
+
+def test_spark_signatures_match_oracle(spark, result, local_sigs):
+    rows = spark.read.parquet(result.signatures_path).collect()
+    assert len(rows) == N_PAGES
+    for r in rows:
+        assert np.array_equal(np.array(r["minhash"]), local_sigs[r["url"]]), r["url"]
+
+
+def test_dup_pair_recall_and_precision(spark, result, oracle_pairs):
+    got = {
+        (r["url_a"], r["url_b"])
+        for r in spark.read.parquet(result.pairs_path).collect()
+    }
+    assert oracle_pairs, "fixture must induce dup pairs"
+    missed = oracle_pairs - got
+    recall = 1 - len(missed) / len(oracle_pairs)
+    assert recall >= 0.99, f"recall {recall}: missed {list(missed)[:5]}"
+    # precision vs the same estimator: every reported pair must clear the
+    # threshold on oracle signatures (verify uses identical sketches, so any
+    # extra pair would mean a signature mismatch)
+    assert got <= oracle_pairs
+
+
+def test_verified_jaccard_values(spark, result, local_sigs):
+    rows = spark.read.parquet(result.pairs_path).collect()
+    size = CFG.minhash.sketch_size
+    for r in rows[:200]:
+        want = float(
+            np.mean(np.array(local_sigs[r["url_a"]]) == np.array(local_sigs[r["url_b"]]))
+        )
+        assert abs(r["est_jaccard"] - want) < 1e-12
+
+
+def test_clusters_match_local_union_find(spark, result):
+    pairs = [
+        (r["url_a"], r["url_b"])
+        for r in spark.read.parquet(result.pairs_path).collect()
+    ]
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in spark.read.parquet(result.clusters_path).collect()
+    }
+    want = {u: find(u) for u in parent}
+    assert got == want
+
+
+def test_exact_clusters_fully_merged(spark, result, corpus):
+    """Injected exact-dup clusters must land in one pipeline cluster each."""
+    _, _, truth_clusters = corpus
+    exact = truth_clusters[truth_clusters["kind"] == "exact"]
+    assignments = {
+        r["url"]: r["cluster_id"]
+        for r in spark.read.parquet(result.clusters_path).collect()
+    }
+    for cid, grp in exact.groupby("cluster_id"):
+        labels = {assignments.get(u) for u in grp["url"]}
+        assert len(labels) == 1 and None not in labels, f"cluster {cid} split"
+
+
+def test_resume_skips_completed_partitions(spark, corpus, tmp_path_factory):
+    """Partial signature run + resume == fresh full run; the resumed run
+    processes only the missing ds partitions (per-partition lineage)."""
+    pages, _, _ = corpus
+    out_dir = str(tmp_path_factory.mktemp("resume"))
+    df = spark.createDataFrame(pages).withColumn(
+        "ds", F.date_format("warc_ts", "yyyy-MM-dd")
+    )
+    all_ds = sorted(r["ds"] for r in df.select("ds").distinct().collect())
+    assert len(all_ds) >= 2
+    head_ds = all_ds[: len(all_ds) // 2]
+
+    pipe = DedupPipeline(spark, CFG, out_dir)
+    pipe.compute_signatures(df.where(F.col("ds").isin(head_ds)))
+    n_head = spark.read.parquet(f"{out_dir}/signatures").count()
+    assert 0 < n_head < N_PAGES
+
+    pipe.compute_signatures(df)  # resume: should only process the tail
+    sigs = spark.read.parquet(f"{out_dir}/signatures")
+    assert sigs.count() == N_PAGES
+    assert sigs.select("url").distinct().count() == N_PAGES
+
+    import json, os
+
+    with open(os.path.join(out_dir, "metrics", "signatures.jsonl")) as f:
+        runs = [json.loads(line) for line in f]
+    assert runs[1]["docs_processed"] == N_PAGES - n_head
+    assert runs[1]["resumed_partitions"] == len(head_ds)
