@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+Everything except the fingerprint is pure JVM expressions (whole-stage
+codegen; no Python). The fingerprint is a uint64 polynomial rolling hash —
+numpy inside an Arrow-batched pandas UDF, same wrap-mod-2^64 discipline as
+the sketch kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+# deterministic marker-token lists for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "pour", "que", "pas"),
+    "es": ("el", "la", "los", "y", "es", "una", "en", "por", "que", "con"),
+}
+
+
+def tokens_col(text_col: str | Column = "text") -> Column:
+    """Whitespace tokens of the trimmed text; empty text → empty array."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text_col: str | Column = "text") -> Column:
+    return F.size(tokens_col(text_col)).cast("long")
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword-ratio quality features + a composite score.
+    All ratios rounded to 6 dp so results hash identically across engines."""
+    toks = tokens_col(text_col)
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), r"[.,!?;:]", ""))
+    ).cast("long")
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    avg_token_len = F.round((n_chars - (n_tokens - 1)) / safe_tokens.cast("double"), 6)
+    punct_ratio = F.round(n_punct / safe_chars.cast("double"), 6)
+    stop_ratio = F.round(n_stop / safe_tokens.cast("double"), 6)
+    score = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * 0.2,
+        6,
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language heuristic: count marker hits per language over
+    lowercase tokens; highest count wins, ties broken by language code order,
+    zero hits → 'und'. Deterministic and SQL-expressible for the oracle."""
+    toks = F.transform(tokens_col(text_col), lambda t: F.lower(t))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        scores.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(markers, t))).alias(
+                f"score_{lang}"
+            )
+        )
+    out = df.select("*", *scores)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)])
+    pred = F.lit("und")
+    # first language (in sorted order) achieving the max wins
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(
+            (best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return out.withColumn("lang_pred", pred)
+
+
+_FP_BASE = np.uint64(1099511628211)
+
+
+def fingerprint_udf():
+    """64-bit polynomial rolling fingerprint of the raw text bytes:
+    fp = sum(byte_i * BASE^(n-1-i)) mod 2^64, computed as a cumulative
+    Horner pass vectorized over the byte array."""
+
+    @pandas_udf(LongType())
+    def _fp(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i, t in enumerate(texts):
+                if t is None or len(t) == 0:
+                    continue
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                # Horner collapsed: fp = Σ byte_i · BASE^(n-1-i) mod 2^64;
+                # powers via wrapping cumprod (uint64 cumprod is modular)
+                n = b.shape[0]
+                powers = np.full(n, _FP_BASE, dtype=np.uint64)
+                powers[0] = np.uint64(1)
+                powers = np.cumprod(powers)[::-1]
+                out[i] = np.sum(b * powers, dtype=np.uint64)
+        return pd.Series(out.astype(np.int64))
+
+    return _fp
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint_udf()(F.col(text_col)))

@@ -74,10 +74,12 @@ def _near_variant(rng, vocab, tokens: list[str]) -> list[str]:
 
 def _punct_variant(rng, tokens: list[str]) -> list[str]:
     """Punctuation-only edits (survive whitespace/case normalization) —
-    SimHash / near-identical path."""
+    SimHash / near-identical path. ~1% of tokens touched: the realistic
+    "same page, tiny punctuation drift" case, which lands within the
+    standard 64-bit/hamming≤3 SimHash envelope."""
     out = []
     for t in tokens:
-        if rng.random() < 0.08:
+        if rng.random() < 0.01:
             out.append(t + str(rng.choice(_PUNCT)))
         else:
             out.append(t)

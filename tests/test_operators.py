@@ -1,0 +1,218 @@
+"""Operator-level tests: SimHash, suffix-array containment, n-gram Jaccard,
+text analysis, embedding similarity, multimodal plumbing."""
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from minhash_spark.operators import (
+    with_simhash,
+    simhash_candidates,
+    substring_dedup,
+    cosine_pairs,
+    brute_force_topk,
+    srp_cosine_pairs,
+    ngram_jaccard_pairs,
+    token_count,
+    with_quality_score,
+    with_lang_id,
+    with_fingerprint,
+    extract_media_features,
+    decode_media,
+)
+from minhash_spark.sources.pages import generate_corpus
+
+
+# ---------- SimHash ----------------------------------------------------------
+
+
+def test_simhash_near_identical(spark):
+    base = " ".join(f"word{i}" for i in range(120))
+    punct = base.replace("word5", "word5,").replace("word50", "word50.")
+    other = " ".join(f"zzz{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [("a", base), ("b", punct), ("c", other)], ["url", "text"]
+    )
+    fps = with_simhash(df)
+    pairs = simhash_candidates(fps, max_hamming=6).collect()
+    got = {(r["url_a"], r["url_b"]) for r in pairs}
+    assert ("a", "b") in got
+    assert ("a", "c") not in got and ("b", "c") not in got
+
+
+def test_simhash_identical_zero_hamming(spark):
+    df = spark.createDataFrame([("a", "x y z w"), ("b", "x y z w")], ["url", "text"])
+    rows = simhash_candidates(with_simhash(df), max_hamming=0).collect()
+    assert len(rows) == 1 and rows[0]["hamming"] == 0
+
+
+# ---------- substring / suffix array ----------------------------------------
+
+
+def test_substring_dedup_finds_contained(spark):
+    rng = np.random.default_rng(0)
+    vocab = [f"tok{i}" for i in range(500)]
+    inner = " ".join(rng.choice(vocab, 40))
+    container = (
+        " ".join(rng.choice(vocab, 30)) + " " + inner + " " + " ".join(rng.choice(vocab, 25))
+    )
+    unrelated = " ".join(rng.choice(vocab, 60))
+    df = spark.createDataFrame(
+        [("inner", inner), ("outer", container), ("other", unrelated)],
+        ["url", "text"],
+    )
+    rows = substring_dedup(df, winnow_k=8).collect()
+    got = {(r["containee"], r["container"]) for r in rows}
+    assert ("inner", "outer") in got
+    assert all(c == "inner" for c, _ in got)
+
+
+def test_substring_dedup_normalized_matching(spark):
+    """Containment is on normalized text: case/whitespace differences don't
+    break it (the per-row invariant column is text, normalization is ours)."""
+    inner = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    container = "pre1 pre2 pre3 " + inner.upper() + "  post1   post2"
+    df = spark.createDataFrame(
+        [("i", inner), ("o", container)], ["url", "text"]
+    )
+    got = {(r["containee"], r["container"]) for r in substring_dedup(df, winnow_k=2).collect()}
+    assert ("i", "o") in got
+
+
+def test_substring_no_false_positives(spark):
+    df = spark.createDataFrame(
+        [("a", " ".join(f"a{i}" for i in range(30))),
+         ("b", " ".join(f"b{i}" for i in range(30)))],
+        ["url", "text"],
+    )
+    assert substring_dedup(df).count() == 0
+
+
+# ---------- n-gram jaccard ----------------------------------------------------
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [("a", "x y z w"), ("b", "x y z q"), ("c", "x y z w")], ["url", "text"]
+    )
+    pairs = spark.createDataFrame([("a", "b"), ("a", "c")], ["url_a", "url_b"])
+    got = {
+        (r["url_a"], r["url_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(pairs, df, n=2).collect()
+    }
+    # bigrams of a: {x y, y z, z w}; of b: {x y, y z, z q} → 2/4
+    assert got[("a", "b")] == 0.5
+    assert got[("a", "c")] == 1.0
+
+
+# ---------- text ops -----------------------------------------------------------
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame(
+        [("a", "the cat, sat."), ("b", ""), ("c", "  x  ")], ["url", "text"]
+    )
+    tc = {r["url"]: r["n"] for r in df.select("url", token_count("text").alias("n")).collect()}
+    assert tc == {"a": 3, "b": 0, "c": 1}
+    q = {r["url"]: r for r in with_quality_score(df).collect()}
+    assert q["a"]["n_tokens"] == 3
+    assert q["a"]["punct_ratio"] == round(2 / 13, 6)
+    assert q["b"]["quality_score"] is not None
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "the cat and the dog went to the store"),
+            ("de", "der hund und die katze sind nicht hier"),
+            ("fr", "le chat est dans la maison pour toujours"),
+            ("und", "zzz qqq www"),
+        ],
+        ["url", "text"],
+    )
+    got = {r["url"]: r["lang_pred"] for r in with_lang_id(df).collect()}
+    assert got == {"en": "en", "de": "de", "fr": "fr", "und": "und"}
+
+
+def test_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([("a", "hello"), ("b", "hello"), ("c", "hellp")], ["url", "text"])
+    got = {r["url"]: r["fingerprint"] for r in with_fingerprint(df).collect()}
+    assert got["a"] == got["b"] != got["c"]
+    # pin the value: fp("hello") = Σ byte·BASE^(n-1-i) mod 2^64
+    base = 1099511628211
+    want = sum(b * pow(base, 4 - i, 1 << 64) for i, b in enumerate(b"hello")) % (1 << 64)
+    assert got["a"] == (want if want < 1 << 63 else want - (1 << 64))
+
+
+# ---------- similarity ----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    # vecs 0 and 1 nearly parallel
+    base[1] = base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), base
+
+
+def test_cosine_pairs_matches_numpy(spark, emb_df):
+    df, base = emb_df
+    X = base.astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn.T
+    want = {
+        (i, j)
+        for i in range(20)
+        for j in range(i + 1, 20)
+        if round(sims[i, j], 6) >= 0.9
+    }
+    got = {(r["id_a"], r["id_b"]) for r in cosine_pairs(df, 0.9).collect()}
+    assert got == want and (0, 1) in got
+
+
+def test_brute_force_topk(spark, emb_df):
+    df, base = emb_df
+    res = brute_force_topk(df, df.where(F.col("vec_id") == 0), k=3).collect()
+    assert [r["neighbor_id"] for r in sorted(res, key=lambda r: r["rank"])][0] == 1
+    assert len(res) == 3
+
+
+def test_srp_recall_vs_bruteforce(spark, emb_df):
+    df, _ = emb_df
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_pairs(df, 0.9).collect()}
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in srp_cosine_pairs(df, 0.9, dim=16, n_planes=8).collect()
+    }
+    assert approx <= exact
+    assert len(approx) >= 1  # near-parallel pair lands in the same bucket
+
+
+# ---------- multimodal ------------------------------------------------------------
+
+
+def test_media_feature_plumbing(spark):
+    pages, _, _ = generate_corpus(30, seed=3)
+    df = spark.createDataFrame(pages)
+    feats = extract_media_features(df, media_col="html", feat_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows[:5]:
+        payload = pages.loc[pages["url"] == r["url"], "html"].iloc[0]
+        assert r["n_bytes"] == len(payload)
+        assert r["sha256"] == hashlib.sha256(payload).hexdigest()
+        assert len(r["feature"]) == 8
+    # determinism: same payload → same feature
+    again = {r["url"]: list(r["feature"]) for r in feats.collect()}
+    assert {r["url"]: list(r["feature"]) for r in rows} == again
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image/png")
