@@ -1,0 +1,619 @@
+"""Driver-facing query registry: every operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus, where SQL-expressible, a DuckDB
+oracle returning the identical result (same column names, same types, same
+rounding). Non-SQL-expressible ops (sketches, fingerprints, probabilistic
+candidates) are registered without an oracle → rows-only check.
+
+Design rule for oracle parity: every float column is computed in double with
+identical operation order (verified bit-equal between engines) and rounded to
+a fixed precision; every aggregate/computed column is aliased identically on
+both sides; id pairs are canonicalized (id_a < id_b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import DedupConfig, MinHashConfig
+from .operators.signatures import with_minhash_signature
+from .operators.lsh import bands_table, candidate_pairs
+from .operators.verify import verify_pairs
+from .operators.cluster import connected_components
+from .operators.exact import exact_dup_groups
+from .operators.simhash import with_simhash, simhash_candidates
+from .operators.substring import substring_dedup
+from .operators.similarity import cosine_pairs, brute_force_topk, srp_cosine_pairs
+from .operators.ngram import ngram_jaccard_pairs
+from .operators.text import (
+    LANG_MARKERS,
+    token_count,
+    with_quality_score,
+    with_lang_id,
+    with_fingerprint,
+)
+from .operators.multimodal import extract_media_features
+from .sources.tables import load_table
+
+CFG = DedupConfig(minhash=MinHashConfig(sketch_size=128, seed=42))
+
+_SHIFT = 10_000_000  # id offset for the deterministic duplicated-corpus union
+_EMB_SHIFT = 100_000
+_CONT_SHIFT = 20_000_000
+
+
+def _docs_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copy with shifted ids — the deterministic exact-dup
+    corpus used by the dedup correctness queries (every text appears twice)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionAll(d.select((F.col("doc_id") + _SHIFT).alias("doc_id"), "text"))
+
+
+_DOCS_UNION_SQL = (
+    "(SELECT doc_id, text FROM documents "
+    f"UNION ALL SELECT doc_id + {_SHIFT} AS doc_id, text FROM documents)"
+)
+
+
+# --------------------------------------------------------------------------
+# dedup: exact
+# --------------------------------------------------------------------------
+
+def q_exact_dedup_groups(spark, sf_dir):
+    u = _docs_union(spark, sf_dir)
+    return exact_dup_groups(u, id_col="doc_id").select(
+        "text_sha", "n_docs", "canonical"
+    )
+
+
+SQL_EXACT_DEDUP_GROUPS = f"""
+SELECT sha256(text) AS text_sha, count(*) AS n_docs, min(doc_id) AS canonical
+FROM {_DOCS_UNION_SQL} u
+GROUP BY sha256(text) HAVING count(*) >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup: MinHash end-to-end (signature → LSH bands → candidates → verify)
+# --------------------------------------------------------------------------
+
+def _minhash_text_dup_pairs(spark, sf_dir) -> DataFrame:
+    u = _docs_union(spark, sf_dir)
+    sigs = with_minhash_signature(u, CFG).select("doc_id", "minhash")
+    bands = bands_table(sigs, CFG, id_col="doc_id")
+    cands = candidate_pairs(bands, CFG, id_col="doc_id")
+    verified = verify_pairs(cands, sigs, CFG, id_col="doc_id", threshold=1.0)
+    texts = u.select("doc_id", "text")
+    return (
+        verified.join(
+            texts.select(F.col("doc_id").alias("url_a"), F.col("text").alias("_ta")),
+            "url_a",
+        )
+        .join(
+            texts.select(F.col("doc_id").alias("url_b"), F.col("text").alias("_tb")),
+            "url_b",
+        )
+        .where(F.col("_ta") == F.col("_tb"))
+        .select(
+            F.col("url_a").alias("id_a"),
+            F.col("url_b").alias("id_b"),
+            F.col("est_jaccard"),
+        )
+    )
+
+
+def q_minhash_text_dup_pairs(spark, sf_dir):
+    return _minhash_text_dup_pairs(spark, sf_dir)
+
+
+SQL_MINHASH_TEXT_DUP_PAIRS = f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0::DOUBLE AS est_jaccard
+FROM {_DOCS_UNION_SQL} a JOIN {_DOCS_UNION_SQL} b
+  ON a.text = b.text AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_clusters_exact(spark, sf_dir):
+    edges = _minhash_text_dup_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("url_a"), F.col("id_b").alias("url_b")
+    )
+    cc = connected_components(edges)
+    return cc.select(F.col("url").alias("doc_id"), F.col("cluster_id"))
+
+
+SQL_DEDUP_CLUSTERS_EXACT = f"""
+WITH u AS (SELECT * FROM {_DOCS_UNION_SQL}),
+ g AS (SELECT text, min(doc_id) AS cid, count(*) AS c FROM u GROUP BY text)
+SELECT u.doc_id AS doc_id, g.cid AS cluster_id
+FROM u JOIN g ON u.text = g.text WHERE g.c >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_token_count(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_features(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_quality_score(d).select(
+        "doc_id",
+        "q_n_chars",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+_EN = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+SQL_QUALITY_FEATURES = rf"""
+WITH base AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              t -> list_contains([{_EN}], lower(t)))) END AS n_stop
+  FROM documents
+), ratios AS (
+  SELECT doc_id, n_chars AS q_n_chars, n_tokens,
+    round((n_chars - (n_tokens - 1)) / greatest(n_tokens, 1)::DOUBLE, 6) AS avg_token_len,
+    round(n_punct / greatest(n_chars, 1)::DOUBLE, 6) AS punct_ratio,
+    round(n_stop / greatest(n_tokens, 1)::DOUBLE, 6) AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, q_n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+  round(least(n_tokens / 100.0, 1.0) * 0.5 + stopword_ratio * 0.3
+        + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2, 6) AS quality_score
+FROM ratios
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_lang_id(d).select("doc_id", "lang_pred")
+
+
+def _lang_sql() -> str:
+    score_cols = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        score_cols.append(
+            f"CASE WHEN trim(text) = '' THEN 0 ELSE "
+            f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            f"t -> list_contains([{markers}], lower(t)))) END AS score_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in sorted(LANG_MARKERS)) + ")"
+    cases = " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in sorted(LANG_MARKERS)
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {", ".join(score_cols)} FROM documents)
+SELECT doc_id, CASE WHEN {best} = 0 THEN 'und' {cases} END AS lang_pred FROM s
+"""
+
+
+SQL_LANG_ID = _lang_sql()
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (consecutive-id pairs → deterministic linear pair set)
+# --------------------------------------------------------------------------
+
+def _consecutive_pairs(spark, sf_dir) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        d.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(d.select(F.col("doc_id").alias("id_b")), "id_b")
+    )
+
+
+def _q_jaccard_consecutive(spark, sf_dir, n: int):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = _consecutive_pairs(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        pairs, docs, n=n, id_col="doc_id", left="id_a", right="id_b"
+    ).select("id_a", "id_b", "jaccard")
+
+
+def q_token_jaccard_consecutive(spark, sf_dir):
+    return _q_jaccard_consecutive(spark, sf_dir, 1)
+
+
+def q_ngram3_jaccard_consecutive(spark, sf_dir):
+    return _q_jaccard_consecutive(spark, sf_dir, 3)
+
+
+_TOKS = r"list_transform(regexp_split_to_array(trim(text), '\s+'), t -> lower(t))"
+
+SQL_TOKEN_JACCARD_CONSECUTIVE = rf"""
+WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS g FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CASE WHEN len(list_distinct(list_concat(a.g, b.g))) = 0 THEN 0.0::DOUBLE
+       ELSE round(len(list_intersect(a.g, b.g))::DOUBLE
+                  / len(list_distinct(list_concat(a.g, b.g))), 6) END AS jaccard
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+SQL_NGRAM3_JACCARD_CONSECUTIVE = rf"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN len({_TOKS}) < 3 THEN []::VARCHAR[]
+         ELSE list_distinct(list_transform(
+                generate_series(1, len({_TOKS}) - 2),
+                i -> array_to_string(({_TOKS})[i:i+2], ' '))) END AS g
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CASE WHEN len(list_distinct(list_concat(a.g, b.g))) = 0 THEN 0.0::DOUBLE
+       ELSE round(len(list_intersect(a.g, b.g))::DOUBLE
+                  / len(list_distinct(list_concat(a.g, b.g))), 6) END AS jaccard
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+
+# --------------------------------------------------------------------------
+# embeddings: cosine near-dup pairs + exact top-k ANN
+# --------------------------------------------------------------------------
+
+def _emb_union(spark, sf_dir) -> DataFrame:
+    """embeddings ∪ 2×-scaled copies (cosine 1.0 with their source) — gives
+    the near-dup threshold query a deterministic positive set."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = e.select(
+        (F.col("vec_id") + _EMB_SHIFT).alias("vec_id"),
+        F.transform("embedding", lambda x: (x.cast("double") * 2).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    return e.unionAll(scaled)
+
+
+_EMB_UNION_SQL = (
+    "(SELECT vec_id, embedding FROM embeddings "
+    f"UNION ALL SELECT vec_id + {_EMB_SHIFT} AS vec_id, "
+    "list_transform(embedding, x -> (x::DOUBLE * 2)::FLOAT) AS embedding "
+    "FROM embeddings)"
+)
+
+
+def q_embedding_cosine_pairs(spark, sf_dir):
+    return cosine_pairs(_emb_union(spark, sf_dir), threshold=0.5).select(
+        "id_a", "id_b", "cosine"
+    )
+
+
+SQL_EMBEDDING_COSINE_PAIRS = f"""
+WITH u AS (SELECT * FROM {_EMB_UNION_SQL})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.5
+"""
+
+
+def q_ann_topk_bruteforce(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") < 50)
+    res = brute_force_topk(e, q, k=10)
+    return res.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+SQL_ANN_TOPK_BRUTEFORCE = """
+WITH s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 50
+), r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# substring containment (suffix-array path)
+# --------------------------------------------------------------------------
+
+_MIN_CONTAINEE_TOKENS = 10  # winnow_k + w - 1 with w=3, winnow_k=8
+
+
+def q_containment_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = token_count("text")
+    containers = d.where((toks >= _MIN_CONTAINEE_TOKENS) & (toks <= 60)).select(
+        (F.col("doc_id") + _CONT_SHIFT).alias("doc_id"),
+        F.concat(
+            F.lit("prefix pad alpha bravo "), F.col("text"), F.lit(" omega zulu suffix pad")
+        ).alias("text"),
+    )
+    u = d.unionAll(containers)
+    res = substring_dedup(u, id_col="doc_id", w=3, winnow_k=8)
+    # restrict to containees above the documented length floor (short probes
+    # are only best-effort; the floor is where recall is guaranteed)
+    lens = u.select(
+        F.col("doc_id").alias("containee"), token_count("text").alias("_nt")
+    )
+    return (
+        res.join(lens, "containee")
+        .where(F.col("_nt") >= _MIN_CONTAINEE_TOKENS)
+        .select("containee", "container")
+    )
+
+
+SQL_CONTAINMENT_PAIRS = rf"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CONT_SHIFT} AS doc_id,
+         'prefix pad alpha bravo ' || text || ' omega zulu suffix pad' AS text
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\s+')) BETWEEN {_MIN_CONTAINEE_TOKENS} AND 60
+), n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt FROM u
+)
+SELECT a.doc_id AS containee, b.doc_id AS container
+FROM n a JOIN n b ON a.doc_id != b.doc_id AND contains(b.nt, a.nt)
+WHERE len(regexp_split_to_array(a.nt, ' ')) >= {_MIN_CONTAINEE_TOKENS}
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing (binary column → metadata)
+# --------------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_key"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    meta = extract_media_features(
+        d, media_col="payload", url_col="doc_key", media_type="html"
+    )
+    return meta.select(
+        F.col("url").alias("doc_key"), "n_bytes", F.col("sha256").alias("payload_sha")
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id::VARCHAR AS doc_key, octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS payload_sha
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# relational coverage (scans, joins, windows, aggregation, anti join, events)
+# --------------------------------------------------------------------------
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 6) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_segment_revenue_broadcast_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_SEGMENT_REVENUE_BROADCAST_JOIN = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_top3_orders_per_customer(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+SQL_TOP3_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Customers with no large order (> 400k) — anti join with the filter
+    pushed below the join (predicate pushdown into the scan)."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return cust.join(
+        big, cust["c_custkey"] == big["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_ts"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,
+  count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: sketches / probabilistic paths)
+# --------------------------------------------------------------------------
+
+def q_minhash_signatures(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_minhash_signature(d, CFG).select("doc_id", "minhash")
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_simhash(d).select("doc_id", "simhash")
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_fingerprint(d).select("doc_id", "fingerprint")
+
+
+def q_near_dup_pairs(spark, sf_dir):
+    """Fuzzy near-dup pairs over the raw documents table at threshold 0.5 —
+    probabilistic LSH candidates; verified estimate is reported."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = with_minhash_signature(d, CFG).select("doc_id", "minhash")
+    bands = bands_table(sigs, CFG, id_col="doc_id")
+    cands = candidate_pairs(bands, CFG, id_col="doc_id")
+    return verify_pairs(cands, sigs, CFG, id_col="doc_id", threshold=0.5).select(
+        F.col("url_a").alias("id_a"), F.col("url_b").alias("id_b"), "est_jaccard"
+    )
+
+
+def q_simhash_candidate_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = with_simhash(d)
+    return simhash_candidates(fps, id_col="doc_id", max_hamming=3).select(
+        F.col("url_a").alias("id_a"), F.col("url_b").alias("id_b"), "hamming"
+    )
+
+
+def q_srp_ann_pairs(spark, sf_dir):
+    u = _emb_union(spark, sf_dir)
+    return srp_cosine_pairs(u, threshold=0.5, dim=64, n_planes=8).select(
+        "id_a", "id_b", "cosine"
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "exact_dedup_groups": q_exact_dedup_groups,
+    "minhash_text_dup_pairs": q_minhash_text_dup_pairs,
+    "dedup_clusters_exact": q_dedup_clusters_exact,
+    "token_count": q_token_count,
+    "quality_features": q_quality_features,
+    "lang_id": q_lang_id,
+    "token_jaccard_consecutive": q_token_jaccard_consecutive,
+    "ngram3_jaccard_consecutive": q_ngram3_jaccard_consecutive,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "containment_pairs": q_containment_pairs,
+    "multimodal_meta": q_multimodal_meta,
+    "tpch_q1_pricing": q_tpch_q1_pricing,
+    "segment_revenue_broadcast_join": q_segment_revenue_broadcast_join,
+    "top3_orders_per_customer": q_top3_orders_per_customer,
+    "customers_without_orders": q_customers_without_orders,
+    "events_hourly": q_events_hourly,
+    # rows-only (no SQL oracle)
+    "minhash_signatures": q_minhash_signatures,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "doc_fingerprints": q_doc_fingerprints,
+    "near_dup_pairs": q_near_dup_pairs,
+    "simhash_candidate_pairs": q_simhash_candidate_pairs,
+    "srp_ann_pairs": q_srp_ann_pairs,
+}
+
+ORACLE_SQL = {
+    "exact_dedup_groups": SQL_EXACT_DEDUP_GROUPS,
+    "minhash_text_dup_pairs": SQL_MINHASH_TEXT_DUP_PAIRS,
+    "dedup_clusters_exact": SQL_DEDUP_CLUSTERS_EXACT,
+    "token_count": SQL_TOKEN_COUNT,
+    "quality_features": SQL_QUALITY_FEATURES,
+    "lang_id": SQL_LANG_ID,
+    "token_jaccard_consecutive": SQL_TOKEN_JACCARD_CONSECUTIVE,
+    "ngram3_jaccard_consecutive": SQL_NGRAM3_JACCARD_CONSECUTIVE,
+    "embedding_cosine_pairs": SQL_EMBEDDING_COSINE_PAIRS,
+    "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    "tpch_q1_pricing": SQL_TPCH_Q1_PRICING,
+    "segment_revenue_broadcast_join": SQL_SEGMENT_REVENUE_BROADCAST_JOIN,
+    "top3_orders_per_customer": SQL_TOP3_ORDERS_PER_CUSTOMER,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "events_hourly": SQL_EVENTS_HOURLY,
+}
