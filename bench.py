@@ -1,0 +1,172 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total seconds), "unit": "sec",
+"queries": {name: sec}, "sf", plus throughput fields}.
+
+The dedup workload amplifies the documents table ×AMPLIFY with perturbed
+replicas (replica i appends two marker tokens → near-dup with est_jaccard
+≈0.97, exercising the full signature → LSH → verify → cluster path at
+realistic similarity rather than degenerate exact copies).
+
+Scaling evidence (north rule: ≥0.8 efficiency between N and 4N executors):
+run scripts/bench_scaling.py, which executes this file at SPARK_GRAFT_CPUS=8
+and =32 on identical input and reports throughput at both.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from minhash_spark.config import DedupConfig, MinHashConfig
+from minhash_spark.session import get_spark, default_parallelism
+from minhash_spark.operators.signatures import with_minhash_signature
+from minhash_spark.operators.lsh import bands_table, candidate_pairs
+from minhash_spark.operators.verify import verify_pairs
+from minhash_spark.operators.cluster import connected_components
+from minhash_spark.operators.simhash import with_simhash, simhash_candidates
+from minhash_spark.operators.substring import substring_dedup
+from minhash_spark.operators.similarity import srp_cosine_pairs, brute_force_topk
+from minhash_spark.operators.text import token_count
+from minhash_spark.queries import (
+    CFG,
+    q_tpch_q1_pricing,
+    q_segment_revenue_broadcast_join,
+    q_top3_orders_per_customer,
+    q_events_hourly,
+    q_quality_features,
+    _emb_union,
+)
+
+AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "20"))
+
+
+def amplified_docs(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    reps = d.select(
+        F.explode(F.sequence(F.lit(0), F.lit(AMPLIFY - 1))).alias("rep"),
+        "doc_id",
+        "text",
+    )
+    # the source parquet is a handful of splits; spread the amplified corpus
+    # across all cores before the UDF stage (real corpora get this from
+    # parquet splits for free)
+    reps = reps.repartition(2 * default_parallelism())
+    return reps.select(
+        (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" variant"),
+                F.col("rep").cast("string"),
+                F.lit(" marker"),
+                F.col("rep").cast("string"),
+            )
+        )
+        .alias("text"),
+    )
+
+
+def bench_dedup_minhash(spark, sf_dir) -> tuple[float, int]:
+    docs = amplified_docs(spark, sf_dir)
+    n_docs = docs.count()  # materialization outside the timed region
+    t0 = time.time()
+    sigs = with_minhash_signature(docs, CFG).select("doc_id", "minhash")
+    sigs = sigs.persist()
+    bands = bands_table(sigs, CFG, id_col="doc_id")
+    cands = candidate_pairs(bands, CFG, id_col="doc_id")
+    # materialize stage outputs like the real pipeline does (parquet between
+    # stages) so connected components doesn't re-derive the whole lineage
+    verified = verify_pairs(cands, sigs, CFG, id_col="doc_id").persist()
+    clusters = connected_components(verified)
+    n_clustered = clusters.count()
+    dt = time.time() - t0
+    sigs.unpersist()
+    verified.unpersist()
+    assert n_clustered > 0
+    return dt, n_docs
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = default_parallelism()
+    spark = get_spark("minhash-spark-bench")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # headline: full dedup pipeline (timed inside, excludes input count)
+    dedup_sec, n_docs = bench_dedup_minhash(spark, sf_dir)
+    timings["dedup_minhash_e2e"] = round(dedup_sec, 3)
+
+    docs = amplified_docs(spark, sf_dir)
+    timed(
+        "simhash_candidates",
+        lambda: simhash_candidates(with_simhash(docs), id_col="doc_id").count(),
+    )
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    toks = token_count("text")
+    containers = raw.where((toks >= 10) & (toks <= 60)).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.lit("prefix pad alpha bravo "), "text", F.lit(" omega zulu suffix pad")).alias("text"),
+    )
+    timed(
+        "substring_containment",
+        lambda: substring_dedup(raw.unionAll(containers), id_col="doc_id").count(),
+    )
+    timed(
+        "srp_ann_pairs",
+        lambda: srp_cosine_pairs(
+            _emb_union(spark, sf_dir), threshold=0.5, dim=64, n_planes=8
+        ).count(),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    timed(
+        "ann_topk_bruteforce",
+        lambda: brute_force_topk(emb, emb.where(F.col("vec_id") < 100), k=10).count(),
+    )
+    timed("quality_features", lambda: q_quality_features(spark, sf_dir).count())
+    timed("tpch_q1_pricing", lambda: q_tpch_q1_pricing(spark, sf_dir).count())
+    timed(
+        "segment_revenue_join",
+        lambda: q_segment_revenue_broadcast_join(spark, sf_dir).count(),
+    )
+    timed(
+        "top3_orders_window", lambda: q_top3_orders_per_customer(spark, sf_dir).count()
+    )
+    timed("events_hourly", lambda: q_events_hourly(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").split("/")[-1],
+                "dedup_docs": n_docs,
+                "dedup_docs_per_sec": round(n_docs / dedup_sec, 1),
+                "cpus": cpus,
+                "amplify": AMPLIFY,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -84,5 +84,9 @@ def candidate_pairs(
         .where(F.col("url_a") < F.col("url_b"))
         .select("url_a", "url_b")
     )
-    # distinct across bands: partial-agg-friendly groupBy
-    return pairs.groupBy("url_a", "url_b").agg(F.lit(1).alias("_one")).drop("_one")
+    # dedup across bands with a partial-agg-friendly groupBy; the band-match
+    # count doubles as the candidate pre-filter (cfg.min_band_matches)
+    counted = pairs.groupBy("url_a", "url_b").agg(F.count("*").alias("n_bands"))
+    if cfg.min_band_matches > 1:
+        counted = counted.where(F.col("n_bands") >= cfg.min_band_matches)
+    return counted.drop("n_bands")

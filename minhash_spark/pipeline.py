@@ -95,6 +95,12 @@ class DedupPipeline:
 
         todo = src.count()
         if todo > 0:
+            # guard against under-partitioned inputs (in-memory fixtures,
+            # single-file tables): the UDF stage should use every core. Real
+            # corpora already arrive in enough parquet splits.
+            par = self.spark.sparkContext.defaultParallelism
+            if src.rdd.getNumPartitions() < par:
+                src = src.repartition(2 * par)
             sigs = with_minhash_signature(src, self.cfg).select("url", "ds", "minhash")
             mode = "append" if done_ds else "overwrite"
             sigs.write.mode(mode).partitionBy("ds").parquet(out)

@@ -60,6 +60,12 @@ def test_min_sketch_batch_chunking_invariance():
     big = min_sketch_batch(sets, cfg, chunk_elems=1 << 20)
     tiny = min_sketch_batch(sets, cfg, chunk_elems=37)  # forces many splits
     assert np.array_equal(big, tiny)
+    # regression: chunk boundary landing EXACTLY on a doc start (docs of 100
+    # with chunk 100 → next chunk begins at a doc offset) must not crash or
+    # misattribute minima
+    sets2 = [np.arange(i * 100, i * 100 + 100, dtype=np.uint64) for i in range(5)]
+    aligned = min_sketch_batch(sets2, cfg, chunk_elems=100)
+    assert np.array_equal(aligned, min_sketch_batch(sets2, cfg, chunk_elems=1 << 20))
 
 
 def test_sketch_long_roundtrip():
