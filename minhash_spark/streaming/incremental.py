@@ -1,0 +1,126 @@
+"""Incremental ingest via Structured Streaming.
+
+The reference is a batch data structure — its "infinite write" tests are
+throughput harnesses, not streaming semantics
+(/root/reference/test/fcds/test_fixed_queries_infinite_write.c:94-99) — so
+streaming here is an ENGINE capability, not reference parity: new page files
+land in a directory, signatures are computed per micro-batch (same Arrow UDF
+as the batch path — the signature is insertion-order independent, so
+incremental == batch by the reference's own determinism invariant), and each
+micro-batch is deduplicated against the accumulated signature store
+(mergeability: sketch(A ∪ B) = merge semantics, src/utils/utils.c:36-46).
+
+``availableNow`` triggers make the same code run as a drain-and-stop job —
+the pattern for periodic incremental dedup over a landing zone.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..config import DedupConfig
+from ..operators.signatures import with_minhash_signature
+from ..operators.lsh import bands_table, candidate_pairs
+from ..operators.verify import verify_pairs
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def stream_signatures(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: DedupConfig | None = None,
+    available_now: bool = True,
+):
+    """File-source stream → signature store (append-only parquet). Returns
+    the StreamingQuery; with available_now=True it drains pending files and
+    stops (call .awaitTermination())."""
+    cfg = cfg or DedupConfig()
+    src = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .parquet(input_dir)
+        .select("url", "text")
+    )
+    sigs = with_minhash_signature(src, cfg).select("url", "minhash")
+    writer = (
+        sigs.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def incremental_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    store_path: str,
+    cfg: DedupConfig | None = None,
+) -> DataFrame:
+    """Dedup one micro-batch against the accumulated signature store:
+    signatures for the batch, band join against store ∪ batch, verified
+    pairs returned; batch signatures appended to the store. Designed for
+    foreachBatch — idempotence comes from the streaming checkpoint (a batch
+    is re-run only if it never committed)."""
+    cfg = cfg or DedupConfig()
+    batch_sigs = with_minhash_signature(
+        batch_df.select("url", "text"), cfg
+    ).select("url", "minhash").persist()
+
+    if os.path.exists(os.path.join(store_path, "_SUCCESS")) or (
+        os.path.isdir(store_path) and any(
+            f.endswith(".parquet") for f in os.listdir(store_path)
+        )
+    ):
+        store = spark.read.parquet(store_path)
+        all_sigs = store.unionByName(batch_sigs)
+    else:
+        all_sigs = batch_sigs
+
+    # candidates restricted to pairs touching the new batch: join new-batch
+    # bands against the full band table (left side small → broadcast-able)
+    all_bands = bands_table(all_sigs, cfg)
+    new_bands = bands_table(batch_sigs, cfg)
+    joined = (
+        new_bands.select("band_id", "band_key", F.col("url").alias("url_a"))
+        .join(
+            all_bands.select("band_id", "band_key", F.col("url").alias("url_b")),
+            ["band_id", "band_key"],
+        )
+        .where(F.col("url_a") != F.col("url_b"))
+        .select(
+            F.least("url_a", "url_b").alias("url_a"),
+            F.greatest("url_a", "url_b").alias("url_b"),
+        )
+        .groupBy("url_a", "url_b")
+        .agg(F.count("*").alias("n_bands"))
+        .where(F.col("n_bands") >= cfg.min_band_matches)
+        .drop("n_bands")
+    )
+    verified = verify_pairs(joined, all_sigs, cfg)
+
+    batch_sigs.write.mode("append").parquet(store_path)
+    batch_sigs.unpersist()
+    return verified

@@ -1,0 +1,92 @@
+"""Plan-quality tests: the properties that matter at 100 TB, pinned so they
+can't silently regress — column pruning reaching the scan (never read html
+for a text-only stage), partition pruning on ds, JVM-only verification and
+banding (no Python), broadcast where intended."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from minhash_spark.config import DedupConfig
+from minhash_spark.operators.lsh import bands_table, candidate_pairs
+from minhash_spark.operators.verify import verify_pairs, estimate_jaccard
+from minhash_spark.operators.signatures import with_minhash_signature
+from minhash_spark.plans import plan_report
+from minhash_spark.sources.pages import generate_corpus, write_pages, read_pages
+
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    pages, _, _ = generate_corpus(300, seed=5)
+    path = str(tmp_path_factory.mktemp("pages_plan") / "pages")
+    write_pages(spark, pages, path)
+    return path
+
+
+def test_scan_never_reads_html_for_text_stage(spark, pages_path):
+    df = read_pages(spark, pages_path).select("url", "text")
+    sigs = with_minhash_signature(df, CFG).select("url", "minhash")
+    rep = plan_report(sigs)
+    assert rep.read_schemas, rep.text
+    for schema in rep.read_schemas:
+        assert "html" not in schema, f"scan reads html: {schema}"
+        assert "text" in schema
+
+
+def test_partition_pruning_on_ds(spark, pages_path):
+    df = read_pages(spark, pages_path)
+    one_day = df.where(F.col("ds") == "2026-01-01").select("url")
+    rep = plan_report(one_day)
+    assert any("ds" in f for f in rep.partition_filters), rep.text
+
+
+def test_predicate_pushdown_to_scan(spark, pages_path):
+    df = read_pages(spark, pages_path).where(F.col("lang") == "en").select("url")
+    rep = plan_report(df)
+    assert any("lang" in f for f in rep.pushed_filters), rep.text
+
+
+def test_banding_and_candidates_are_jvm_only(spark):
+    sigs = spark.createDataFrame(
+        [(f"u{i}", list(range(128))) for i in range(10)], ["url", "minhash"]
+    )
+    cands = candidate_pairs(bands_table(sigs, CFG), CFG)
+    rep = plan_report(cands)
+    assert not rep.has_python, rep.python_stages
+
+
+def test_verify_python_is_arrow_only(spark):
+    """Verification crosses to Python exactly once, through Arrow — never
+    row-at-a-time BatchEvalPython."""
+    sigs = spark.createDataFrame(
+        [(f"u{i}", list(range(128))) for i in range(10)], ["url", "minhash"]
+    )
+    pairs = spark.createDataFrame([("u1", "u2")], ["url_a", "url_b"])
+    rep = plan_report(verify_pairs(pairs, sigs, CFG))
+    assert rep.python_stages and set(rep.python_stages) == {"ArrowEvalPython"}, (
+        rep.python_stages
+    )
+    assert "BatchEvalPython" not in rep.text
+
+
+def test_jvm_estimator_expression_matches_udf(spark):
+    """The JVM expression form and the Arrow UDF must agree exactly."""
+    rows = [
+        ("a", list(range(128)), list(range(128))),
+        ("b", list(range(128)), [0, 1] + [999] * 126),
+        ("c", [7] * 128, [7] * 64 + [8] * 64),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s1", "s2"])
+    from minhash_spark.operators.verify import estimate_jaccard_udf
+
+    out = df.select(
+        "k",
+        estimate_jaccard(F.col("s1"), F.col("s2"), 128).alias("jvm"),
+        estimate_jaccard_udf(128)(F.col("s1"), F.col("s2")).alias("arrow"),
+    ).collect()
+    for r in out:
+        assert r["jvm"] == r["arrow"]
+    got = {r["k"]: r["jvm"] for r in out}
+    assert got == {"a": 1.0, "b": 2 / 128, "c": 0.5}

@@ -1,0 +1,73 @@
+"""Structured Streaming ingest tests: file-source signature stream with
+availableNow drain, and incremental micro-batch dedup against the signature
+store (incremental result == batch result, by the reference's own
+order/partition-independence invariant)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from minhash_spark.config import DedupConfig
+from minhash_spark.functions.kernels import min_sketch_batch, sketch_to_long
+from minhash_spark.functions.shingles import shingle_fn
+from minhash_spark.sources.pages import generate_corpus
+from minhash_spark.streaming import stream_signatures, incremental_dedup_batch
+
+CFG = DedupConfig()
+
+
+def test_stream_signatures_availablenow(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+
+    pages, _, _ = generate_corpus(120, seed=21)
+    df = spark.createDataFrame(pages)
+    df.where(F.col("url").contains("/p/1")).write.parquet(in_dir)
+
+    q = stream_signatures(spark, in_dir, out_dir, ckpt, CFG)
+    q.awaitTermination()
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == df.where(F.col("url").contains("/p/1")).count() > 0
+
+    # second batch of files → only the new ones are processed (checkpoint)
+    df.where(~F.col("url").contains("/p/1")).write.mode("append").parquet(in_dir)
+    q = stream_signatures(spark, in_dir, out_dir, ckpt, CFG)
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 120
+    assert out.select("url").distinct().count() == 120
+
+    # streamed signatures == batch kernel signatures (order independence)
+    shingler = shingle_fn(CFG.shingle_mode, CFG.shingle_size)
+    want = {
+        u: sketch_to_long(min_sketch_batch([shingler(t)], CFG.minhash))[0]
+        for u, t in zip(pages["url"], pages["text"])
+    }
+    for r in out.collect():
+        assert np.array_equal(np.array(r["minhash"]), want[r["url"]]), r["url"]
+
+
+def test_incremental_dedup_matches_batch(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("incr")
+    store = str(base / "sigstore")
+
+    pages, _, _ = generate_corpus(400, seed=33)
+    df = spark.createDataFrame(pages).select("url", "text")
+    half1 = df.where(F.crc32("url") % 2 == 0)
+    half2 = df.where(F.crc32("url") % 2 == 1)
+
+    pairs1 = incremental_dedup_batch(spark, half1, store, CFG)
+    got = {(r["url_a"], r["url_b"]) for r in pairs1.collect()}
+    pairs2 = incremental_dedup_batch(spark, half2, store, CFG)
+    got |= {(r["url_a"], r["url_b"]) for r in pairs2.collect()}
+
+    # batch reference: full pipeline over everything at once
+    from minhash_spark.operators.signatures import with_minhash_signature
+    from minhash_spark.operators.lsh import bands_table, candidate_pairs
+    from minhash_spark.operators.verify import verify_pairs
+
+    sigs = with_minhash_signature(df, CFG).select("url", "minhash")
+    want_df = verify_pairs(candidate_pairs(bands_table(sigs, CFG), CFG), sigs, CFG)
+    want = {(r["url_a"], r["url_b"]) for r in want_df.collect()}
+
+    assert got == want and len(want) > 0
