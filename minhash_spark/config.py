@@ -73,10 +73,14 @@ class DedupConfig:
     bands: int = 32
     rows: int = 4
     jaccard_threshold: float = 0.8
-    # Skew guard: band buckets larger than this (boilerplate pages collapsing
-    # into one key) are capped — pairs beyond the cap are not enumerated from
-    # that bucket and the overflow is counted in the metrics table.
-    max_bucket_size: int = 5000
+    # Skew guard: band buckets larger than this switch from all-pairs to
+    # STAR enumeration (anchor = bucket min member, O(m) pairs instead of
+    # O(m²)) — a hot key can't be split by AQE (skew split is per-key), so
+    # one 12k-doc bucket alone would put 80M pairs in a single task.
+    # True mega near-dup clusters stay connected through their anchors
+    # (cluster assignments preserved); junk collision buckets cost O(m)
+    # failed verifications instead of O(m²).
+    max_bucket_size: int = 500
     # Candidate pre-filter: require a pair to collide in ≥ this many bands
     # before Jaccard verification. With bands=32, rows=4 the miss probability
     # at J = 0.8 is P(<2 of 32 @ p=J^4) ≈ 1.2e-5 — far inside the 0.99 recall

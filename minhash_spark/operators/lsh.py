@@ -65,25 +65,46 @@ def bucket_stats(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
 def candidate_pairs(
     bands: DataFrame, cfg: DedupConfig, id_col: str = "url"
 ) -> DataFrame:
-    """Self-join on (band_id, band_key) → distinct (url_a, url_b) with
-    url_a < url_b. Oversized buckets are dropped before the join (skew cap)."""
+    """Distinct candidate (url_a, url_b) with url_a < url_b.
+
+    Buckets ≤ max_bucket_size: all-pairs self-join on (band_id, band_key).
+    Oversized buckets (single hot keys — AQE can't split within a key, so one
+    12k-doc bucket alone would put 80M pairs in one task): STAR fallback —
+    emit only (bucket-min member, other) pairs, O(m) instead of O(m²). A
+    genuine mega near-dup cluster stays connected through its anchor after
+    verification (cluster assignments preserved via CC transitive closure);
+    a junk collision bucket costs O(m) failed verifications instead of O(m²).
+    """
+    bands = bands.select(F.col(id_col).alias("_id"), "band_id", "band_key")
     sizes = bands.groupBy("band_id", "band_key").count()
-    keep = sizes.filter(F.col("count") <= cfg.max_bucket_size).select(
+    small = sizes.filter(F.col("count") <= cfg.max_bucket_size).select(
         "band_id", "band_key"
     )
-    pruned = bands.join(keep, ["band_id", "band_key"])
+    big = sizes.filter(F.col("count") > cfg.max_bucket_size).select(
+        "band_id", "band_key"
+    )
 
-    left = pruned.select(
-        "band_id", "band_key", F.col(id_col).alias("url_a")
-    )
-    right = pruned.select(
-        "band_id", "band_key", F.col(id_col).alias("url_b")
-    )
-    pairs = (
+    pruned = bands.join(small, ["band_id", "band_key"])
+    left = pruned.select("band_id", "band_key", F.col("_id").alias("url_a"))
+    right = pruned.select("band_id", "band_key", F.col("_id").alias("url_b"))
+    all_pairs = (
         left.join(right, ["band_id", "band_key"])
         .where(F.col("url_a") < F.col("url_b"))
         .select("url_a", "url_b")
     )
+
+    hot = bands.join(F.broadcast(big), ["band_id", "band_key"])
+    anchors = hot.groupBy("band_id", "band_key").agg(F.min("_id").alias("_anchor"))
+    star_pairs = (
+        hot.join(F.broadcast(anchors), ["band_id", "band_key"])
+        .where(F.col("_id") != F.col("_anchor"))
+        .select(
+            F.least("_id", "_anchor").alias("url_a"),
+            F.greatest("_id", "_anchor").alias("url_b"),
+        )
+    )
+
+    pairs = all_pairs.unionByName(star_pairs)
     # dedup across bands with a partial-agg-friendly groupBy; the band-match
     # count doubles as the candidate pre-filter (cfg.min_band_matches)
     counted = pairs.groupBy("url_a", "url_b").agg(F.count("*").alias("n_bands"))

@@ -38,6 +38,19 @@ def token_count(text_col: str | Column = "text") -> Column:
     return F.size(tokens_col(text_col)).cast("long")
 
 
+# GPT-2-style pre-tokenizer pattern: contractions, space-prefixed letter /
+# digit / punctuation runs. Same semantics in Java regex and RE2, so the
+# count is oracle-checkable.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_count_bpe(text_col: str | Column = "text") -> Column:
+    """BPE-ish token count: the number of pre-tokenizer matches — the
+    standard cheap proxy for LLM token budgets over a corpus."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length/punctuation/stopword-ratio quality features + a composite score.
     All ratios rounded to 6 dp so results hash identically across engines."""

@@ -26,8 +26,10 @@ from .operators.substring import substring_dedup
 from .operators.similarity import cosine_pairs, brute_force_topk, srp_cosine_pairs
 from .operators.ngram import ngram_jaccard_pairs
 from .operators.text import (
+    BPE_ISH_PATTERN,
     LANG_MARKERS,
     token_count,
+    token_count_bpe,
     with_quality_score,
     with_lang_id,
     with_fingerprint,
@@ -144,6 +146,18 @@ SELECT doc_id,
        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
 FROM documents
 """
+
+
+def q_token_count_bpe(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count_bpe("text").alias("n_bpe_tokens"))
+
+
+SQL_TOKEN_COUNT_BPE = (
+    "SELECT doc_id, len(regexp_extract_all(text, '"
+    + BPE_ISH_PATTERN.replace("'", "''")
+    + "')) AS n_bpe_tokens FROM documents"
+)
 
 
 def q_quality_features(spark, sf_dir):
@@ -576,6 +590,7 @@ QUERIES = {
     "minhash_text_dup_pairs": q_minhash_text_dup_pairs,
     "dedup_clusters_exact": q_dedup_clusters_exact,
     "token_count": q_token_count,
+    "token_count_bpe": q_token_count_bpe,
     "quality_features": q_quality_features,
     "lang_id": q_lang_id,
     "token_jaccard_consecutive": q_token_jaccard_consecutive,
@@ -603,6 +618,7 @@ ORACLE_SQL = {
     "minhash_text_dup_pairs": SQL_MINHASH_TEXT_DUP_PAIRS,
     "dedup_clusters_exact": SQL_DEDUP_CLUSTERS_EXACT,
     "token_count": SQL_TOKEN_COUNT,
+    "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "quality_features": SQL_QUALITY_FEATURES,
     "lang_id": SQL_LANG_ID,
     "token_jaccard_consecutive": SQL_TOKEN_JACCARD_CONSECUTIVE,

@@ -143,6 +143,31 @@ def test_exact_clusters_fully_merged(spark, result, corpus):
         assert len(labels) == 1 and None not in labels, f"cluster {cid} split"
 
 
+def test_mega_bucket_star_fallback_keeps_cluster_connected(spark):
+    """Buckets beyond max_bucket_size switch to O(m) star enumeration — a
+    mega near-dup cluster (here: 40 identical docs with cap 5) must still
+    come out as ONE cluster, not be dropped by the skew cap."""
+    import dataclasses
+
+    from minhash_spark.operators.signatures import with_minhash_signature
+    from minhash_spark.operators.lsh import bands_table, candidate_pairs
+    from minhash_spark.operators.verify import verify_pairs
+    from minhash_spark.operators.cluster import connected_components
+
+    cfg = dataclasses.replace(CFG, max_bucket_size=5)
+    text = " ".join(f"mega{i}" for i in range(80))
+    rows = [(f"u{i:03d}", text) for i in range(40)]
+    df = spark.createDataFrame(rows, ["url", "text"])
+    sigs = with_minhash_signature(df, cfg).select("url", "minhash")
+    pairs = candidate_pairs(bands_table(sigs, cfg), cfg)
+    verified = verify_pairs(pairs, sigs, cfg)
+    clusters = connected_components(verified).collect()
+    assert len(clusters) == 40
+    assert {r["cluster_id"] for r in clusters} == {"u000"}
+    # and the pair count is O(m), not O(m²): star emits m-1 edges
+    assert verified.count() == 39
+
+
 def test_resume_skips_completed_partitions(spark, corpus, tmp_path_factory):
     """Partial signature run + resume == fresh full run; the resumed run
     processes only the missing ds partitions (per-partition lineage)."""
