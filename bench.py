@@ -47,10 +47,20 @@ from minhash_spark.queries import (
 AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "20"))
 
 
-def amplified_docs(spark, sf_dir):
+N_CLONES = 5  # near-dup cluster size in the amplified corpus
+
+
+def amplified_docs(spark, sf_dir, amplify: int | None = None):
+    """Deterministic corpus amplifier: each source doc becomes
+    amplify/N_CLONES distinct "mutations" (a unique ~150-token filler
+    prefix per (doc, mutation) drops cross-mutation Jaccard to ~0.45 — no
+    dup pair), each mutation cloned N_CLONES times with a tiny suffix edit
+    (within-cluster Jaccard ≈ 0.97 — a true near-dup cluster). Ground truth:
+    every 5-clone group is one cluster; nothing merges across groups."""
+    amplify = AMPLIFY if amplify is None else amplify
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     reps = d.select(
-        F.explode(F.sequence(F.lit(0), F.lit(AMPLIFY - 1))).alias("rep"),
+        F.explode(F.sequence(F.lit(0), F.lit(amplify - 1))).alias("rep"),
         "doc_id",
         "text",
     )
@@ -58,19 +68,25 @@ def amplified_docs(spark, sf_dir):
     # across all cores before the UDF stage (real corpora get this from
     # parquet splits for free)
     reps = reps.repartition(2 * default_parallelism())
+    mut = (F.col("rep") / N_CLONES).cast("int")
+    clone = F.col("rep") % N_CLONES
+    filler = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(149)),
+            lambda k: F.concat(
+                F.lit("m"), mut.cast("string"),
+                F.lit("d"), F.col("doc_id").cast("string"),
+                F.lit("f"), k.cast("string"),
+            ),
+        ),
+    )
     return reps.select(
         (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
-        F.when(F.col("rep") == 0, F.col("text"))
-        .otherwise(
-            F.concat(
-                F.col("text"),
-                F.lit(" variant"),
-                F.col("rep").cast("string"),
-                F.lit(" marker"),
-                F.col("rep").cast("string"),
-            )
-        )
-        .alias("text"),
+        F.concat(
+            filler, F.lit(" "), F.col("text"),
+            F.lit(" clonevariant"), clone.cast("string"),
+        ).alias("text"),
     )
 
 

@@ -73,14 +73,18 @@ class DedupConfig:
     bands: int = 32
     rows: int = 4
     jaccard_threshold: float = 0.8
-    # Skew guard: band buckets larger than this switch from all-pairs to
-    # STAR enumeration (anchor = bucket min member, O(m) pairs instead of
-    # O(m²)) — a hot key can't be split by AQE (skew split is per-key), so
-    # one 12k-doc bucket alone would put 80M pairs in a single task.
-    # True mega near-dup clusters stay connected through their anchors
-    # (cluster assignments preserved); junk collision buckets cost O(m)
-    # failed verifications instead of O(m²).
+    # Skew tiers for band buckets (a hot key can't be split by AQE — skew
+    # split is per-key — so one 12k-doc bucket would put 80M pairs in a
+    # single task):
+    #   m ≤ max_bucket_size            → plain all-pairs join
+    #   m ≤ salted_bucket_max          → salted all-pairs (exact pair set,
+    #                                    spread over salt_factor join groups)
+    #   m > salted_bucket_max          → star enumeration (anchor = bucket
+    #                                    min, O(m); cluster assignment
+    #                                    preserved via CC transitive closure)
     max_bucket_size: int = 500
+    salted_bucket_max: int = 5000
+    salt_factor: int = 16
     # Candidate pre-filter: require a pair to collide in ≥ this many bands
     # before Jaccard verification. With bands=32, rows=4 the miss probability
     # at J = 0.8 is P(<2 of 32 @ p=J^4) ≈ 1.2e-5 — far inside the 0.99 recall

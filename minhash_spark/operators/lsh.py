@@ -65,22 +65,32 @@ def bucket_stats(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
 def candidate_pairs(
     bands: DataFrame, cfg: DedupConfig, id_col: str = "url"
 ) -> DataFrame:
-    """Distinct candidate (url_a, url_b) with url_a < url_b.
+    """Distinct candidate (url_a, url_b) with url_a < url_b — three skew
+    tiers, because a hot band key cannot be split by AQE (skew split is
+    per-key) and one 12k-doc bucket alone would put 80M pairs in one task:
 
-    Buckets ≤ max_bucket_size: all-pairs self-join on (band_id, band_key).
-    Oversized buckets (single hot keys — AQE can't split within a key, so one
-    12k-doc bucket alone would put 80M pairs in one task): STAR fallback —
-    emit only (bucket-min member, other) pairs, O(m) instead of O(m²). A
-    genuine mega near-dup cluster stays connected through its anchor after
-    verification (cluster assignments preserved via CC transitive closure);
-    a junk collision bucket costs O(m) failed verifications instead of O(m²).
+    - m ≤ max_bucket_size: plain all-pairs self-join on (band_id, band_key).
+    - max_bucket_size < m ≤ salted_bucket_max: SALTED all-pairs — members get
+      a salt in [0, salt_factor); the left side is replicated to every salt
+      and joined on (band, key, salt of the right member), so the bucket's
+      m² pairs spread across salt_factor independent join groups instead of
+      one. Exact same pair set, parallel hot key.
+    - m > salted_bucket_max: STAR fallback — only (bucket-min, other) pairs,
+      O(m) instead of O(m²). A genuine mega near-dup cluster stays connected
+      through its anchor after verification (cluster assignment preserved by
+      CC transitive closure); a junk collision bucket costs O(m) failed
+      verifications instead of O(m²).
     """
     bands = bands.select(F.col(id_col).alias("_id"), "band_id", "band_key")
     sizes = bands.groupBy("band_id", "band_key").count()
     small = sizes.filter(F.col("count") <= cfg.max_bucket_size).select(
         "band_id", "band_key"
     )
-    big = sizes.filter(F.col("count") > cfg.max_bucket_size).select(
+    mid = sizes.filter(
+        (F.col("count") > cfg.max_bucket_size)
+        & (F.col("count") <= cfg.salted_bucket_max)
+    ).select("band_id", "band_key")
+    big = sizes.filter(F.col("count") > cfg.salted_bucket_max).select(
         "band_id", "band_key"
     )
 
@@ -89,6 +99,26 @@ def candidate_pairs(
     right = pruned.select("band_id", "band_key", F.col("_id").alias("url_b"))
     all_pairs = (
         left.join(right, ["band_id", "band_key"])
+        .where(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b")
+    )
+
+    s = cfg.salt_factor
+    warm = bands.join(F.broadcast(mid), ["band_id", "band_key"])
+    warm_right = warm.select(
+        "band_id",
+        "band_key",
+        F.pmod(F.xxhash64("_id"), F.lit(s)).alias("_salt"),
+        F.col("_id").alias("url_b"),
+    )
+    warm_left = warm.select(
+        "band_id",
+        "band_key",
+        F.explode(F.sequence(F.lit(0), F.lit(s - 1))).alias("_salt"),
+        F.col("_id").alias("url_a"),
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    salted_pairs = (
+        warm_left.join(warm_right, ["band_id", "band_key", "_salt"])
         .where(F.col("url_a") < F.col("url_b"))
         .select("url_a", "url_b")
     )
@@ -104,7 +134,7 @@ def candidate_pairs(
         )
     )
 
-    pairs = all_pairs.unionByName(star_pairs)
+    pairs = all_pairs.unionByName(salted_pairs).unionByName(star_pairs)
     # dedup across bands with a partial-agg-friendly groupBy; the band-match
     # count doubles as the candidate pre-filter (cfg.min_band_matches)
     counted = pairs.groupBy("url_a", "url_b").agg(F.count("*").alias("n_bands"))

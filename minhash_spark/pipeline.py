@@ -144,8 +144,9 @@ class DedupPipeline:
     def run(self, pages: DataFrame, resume: bool = True) -> PipelineResult:
         t0 = time.time()
         sig_path = self.compute_signatures(pages, resume=resume)
-        # pairs/clusters must reflect the (possibly extended) signature set
-        pairs_path = self.compute_pairs(sig_path, force=not resume or True)
+        # pairs/clusters always rebuild: they must reflect the (possibly
+        # extended) signature set; only the signature stage is incremental
+        pairs_path = self.compute_pairs(sig_path, force=True)
         clusters_path = self.compute_clusters(pairs_path, force=True)
         rec = self._log_metric("pipeline", seconds=time.time() - t0)
         return PipelineResult(

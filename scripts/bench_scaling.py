@@ -26,11 +26,19 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PAIRS = [(2, 8), (8, 32)]
+# (N cores, 4N cores, corpus amplification). Each pair runs on IDENTICAL
+# input at both levels; the bigger pair gets the bigger corpus so parallel
+# compute dominates fixed scheduling latency.
+PAIRS = [(2, 8, 40), (8, 32, 100)]
 
 
-def run_bench(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+def run_bench(cpus: int, sf_dir: str, amplify: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_AMPLIFY=str(amplify),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -72,64 +80,61 @@ print(json.dumps(out))
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    levels = sorted({c for pair in PAIRS for c in pair})
-    results = {}
-    for cpus in levels:
-        t0 = time.time()
-        results[cpus] = run_bench(cpus, sf_dir)
-        print(f"local[{cpus}]: {json.dumps(results[cpus])} (wall {time.time()-t0:.0f}s)",
-              flush=True)
+    results: dict[tuple, dict] = {}
+    effs = {}
+    for n, n4, amp in PAIRS:
+        for cpus in (n, n4):
+            t0 = time.time()
+            results[(cpus, amp)] = run_bench(cpus, sf_dir, amp)
+            print(
+                f"local[{cpus}] amp={amp}: {json.dumps(results[(cpus, amp)])} "
+                f"(wall {time.time()-t0:.0f}s)",
+                flush=True,
+            )
+        effs[(n, n4, amp)] = (
+            results[(n4, amp)]["dedup_docs_per_sec"]
+            / results[(n, amp)]["dedup_docs_per_sec"]
+        ) / 4
+        print(f"pair ({n}→{n4}, amp {amp}): eff {effs[(n, n4, amp)]:.3f}", flush=True)
     kern = kernel_scaling()
     print(f"kernel multiproc docs/s: {kern}", flush=True)
 
-    effs = {}
-    for n, n4 in PAIRS:
-        effs[(n, n4)] = (
-            results[n4]["dedup_docs_per_sec"] / results[n]["dedup_docs_per_sec"]
-        ) / 4
-
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    cols = " | ".join(f"local[{c}]" for c in levels)
-    tp_row = " | ".join(str(results[c]["dedup_docs_per_sec"]) for c in levels)
-    sec_row = " | ".join(str(results[c]["queries"]["dedup_minhash_e2e"]) for c in levels)
-    tot_row = " | ".join(str(results[c]["value"]) for c in levels)
-    qrows = "\n".join(
-        "| " + q + " | " + " | ".join(str(results[c]["queries"][q]) for c in levels) + " |"
-        for q in results[levels[0]]["queries"]
-    )
     kern_eff_8_32 = (kern[32] / kern[8]) / 4
     kern_eff_2_8 = (kern[8] / kern[2]) / 4
-    raw = "\n".join(json.dumps(results[c]) for c in levels)
+    pair_rows = "\n".join(
+        f"| local[{n}] → local[{n4}] | ×{amp} → {results[(n, amp)]['dedup_docs']} docs "
+        f"| {results[(n, amp)]['dedup_docs_per_sec']} | {results[(n4, amp)]['dedup_docs_per_sec']} "
+        f"| **{effs[(n, n4, amp)]:.3f}** |"
+        for n, n4, amp in PAIRS
+    )
+    raw = "\n".join(json.dumps(v) for v in results.values())
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH — measured throughput & scaling evidence
 
-Input: `{sf_dir}`, documents amplified ×{results[levels[0]]['amplify']} with
-perturbed near-dup replicas → {results[levels[0]]['dedup_docs']} docs for the
-dedup headline. Identical input at every parallelism level (driver
-instruction: evidence the N vs 4N executor rule with two local parallelism
-levels — no real cluster in this sandbox).
+Input: `{sf_dir}` documents, amplified into near-dup clusters (5-clone
+clusters × distinct mutations; see bench.amplified_docs). Each scaling pair
+runs on IDENTICAL input at both parallelism levels (driver instruction:
+evidence the N vs 4N executor rule with two local levels — no real cluster
+in this sandbox).
 
-| metric | {cols} |
-|---|{"---|" * len(levels)}
-| dedup e2e throughput (docs/sec) | {tp_row} |
-| dedup e2e seconds | {sec_row} |
-| headline total seconds | {tot_row} |
+## Scaling efficiency (dedup e2e headline, (tp_4N/tp_N)/4, target ≥ 0.8)
 
-## Scaling efficiency (dedup headline, (tp_4N/tp_N)/4)
+| pair | corpus | docs/s @N | docs/s @4N | efficiency |
+|---|---|---|---|---|
+{pair_rows}
 
-| pair | efficiency | target | reading |
-|---|---|---|---|
-| local[2] → local[8] | **{effs[(2, 8)]:.3f}** | ≥ 0.8 | intrinsic pipeline scalability: both levels below the shared-resource ceiling — the faithful stand-in for N → 4N executor *machines* (which multiply DRAM bandwidth and disks along with cores) |
-| local[8] → local[32] | {effs[(8, 32)]:.3f} | — | single-box ceiling: one shared DRAM bus; the pure-numpy hashing kernel alone (no Spark) measures {kern_eff_8_32:.2f} efficiency on this pair (vs {kern_eff_2_8:.2f} on 2→8), so this bound is hardware, not orchestration |
+Reading the two pairs:
+- **local[2] → local[8]** measures intrinsic pipeline scalability with both
+  levels below the machine's shared-resource ceiling — the faithful stand-in
+  for N → 4N executor *machines*, which multiply DRAM bandwidth and disks
+  along with cores.
+- **local[8] → local[32]** saturates the single shared DRAM bus of this one
+  box: the pure-numpy hashing kernel alone (no Spark, plain multiprocessing)
+  measures {kern_eff_8_32:.2f} efficiency on this pair vs {kern_eff_2_8:.2f} on 2→8 —
+  that bound is hardware, not orchestration.
 
-Kernel-only multiprocessing throughput (docs/s, no Spark):
-{json.dumps(kern)}
-
-## Per-query seconds
-
-| query | {cols} |
-|---|{"---|" * len(levels)}
-{qrows}
+Kernel-only multiprocessing throughput (docs/s, no Spark): {json.dumps(kern)}
 
 ## Raw bench JSON
 
@@ -144,8 +149,6 @@ correctness parity is the sketch-semantics equality enforced by tests
 (vectorized kernels == serial oracle clone; Spark output == kernels) and the
 dup-pair recall ≥ 0.99 e2e gate (tests/test_pipeline.py).
 """)
-    for pair, eff in effs.items():
-        print(f"scaling efficiency {pair}: {eff:.3f}")
     print("→ BENCH/BASELINE.md")
 
 

@@ -92,6 +92,40 @@ def test_substring_no_false_positives(spark):
     assert substring_dedup(df).count() == 0
 
 
+# ---------- LSH skew tiers ---------------------------------------------------
+
+
+def test_candidate_pair_skew_tiers(spark):
+    """Three bucket tiers: plain (m≤cap) and salted (cap<m≤salted_max) must
+    produce the EXACT all-pairs set; star (m>salted_max) produces exactly
+    the m-1 anchor pairs."""
+    import dataclasses
+    import itertools
+    from minhash_spark.config import DedupConfig
+    from minhash_spark.operators.lsh import candidate_pairs
+
+    cfg = dataclasses.replace(
+        DedupConfig(), max_bucket_size=5, salted_bucket_max=30, salt_factor=4,
+        min_band_matches=1,
+    )
+    rows = []
+    # bucket A: m=4 (plain), bucket B: m=20 (salted), bucket C: m=50 (star)
+    for i in range(4):
+        rows.append((f"a{i:02d}", 0, 111))
+    for i in range(20):
+        rows.append((f"b{i:02d}", 1, 222))
+    for i in range(50):
+        rows.append((f"c{i:02d}", 2, 333))
+    bands = spark.createDataFrame(rows, ["url", "band_id", "band_key"])
+    got = {(r["url_a"], r["url_b"]) for r in candidate_pairs(bands, cfg).collect()}
+
+    want = set()
+    want |= set(itertools.combinations([f"a{i:02d}" for i in range(4)], 2))
+    want |= set(itertools.combinations([f"b{i:02d}" for i in range(20)], 2))
+    want |= {("c00", f"c{i:02d}") for i in range(1, 50)}  # star: anchor=min
+    assert got == want
+
+
 # ---------- n-gram jaccard ----------------------------------------------------
 
 

@@ -154,7 +154,7 @@ def test_mega_bucket_star_fallback_keeps_cluster_connected(spark):
     from minhash_spark.operators.verify import verify_pairs
     from minhash_spark.operators.cluster import connected_components
 
-    cfg = dataclasses.replace(CFG, max_bucket_size=5)
+    cfg = dataclasses.replace(CFG, max_bucket_size=5, salted_bucket_max=10)
     text = " ".join(f"mega{i}" for i in range(80))
     rows = [(f"u{i:03d}", text) for i in range(40)]
     df = spark.createDataFrame(rows, ["url", "text"])
