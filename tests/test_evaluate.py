@@ -1,0 +1,49 @@
+"""Evaluation metrics + the per-row byte-identity invariant."""
+
+from pyspark.sql import functions as F
+
+from minhash_spark.evaluate import pair_metrics, cluster_pair_metrics
+from minhash_spark.sources.pages import generate_corpus, write_pages, read_pages
+
+
+def test_pair_metrics(spark):
+    found = spark.createDataFrame(
+        [("a", "b"), ("c", "b"), ("x", "y")], ["url_a", "url_b"]
+    )
+    truth = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("p", "q")], ["url_a", "url_b"]
+    )
+    m = pair_metrics(found, truth)
+    assert m["n_hit"] == 2
+    assert m["precision"] == 2 / 3 and m["recall"] == 2 / 3
+
+
+def test_cluster_pair_metrics(spark):
+    assigned = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2), ("d", 2), ("e", 3)], ["url", "cluster_id"]
+    )
+    truth = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x"), ("d", "y"), ("e", "y")],
+        ["url", "cluster_id"],
+    )
+    m = cluster_pair_metrics(assigned, truth)
+    # predicted pairs: (a,b),(c,d); truth pairs: (a,b),(a,c),(b,c),(d,e)
+    assert m["n_predicted_pairs"] == 2 and m["n_truth_pairs"] == 4
+    assert m["n_hit"] == 1
+
+
+def test_text_byte_identity_roundtrip(spark, tmp_path_factory):
+    """The per-row invariant (BASELINE input_hint): extracted text survives
+    write → read byte-identically per url; html bytes too."""
+    pages, _, _ = generate_corpus(200, seed=17)
+    path = str(tmp_path_factory.mktemp("roundtrip") / "pages")
+    write_pages(spark, pages, path)
+    back = {
+        r["url"]: (r["text"], bytes(r["html"]))
+        for r in read_pages(spark, path).collect()
+    }
+    assert len(back) == 200
+    for _, row in pages.iterrows():
+        t, h = back[row["url"]]
+        assert t == row["text"]
+        assert h == row["html"]

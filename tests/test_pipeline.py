@@ -143,6 +143,32 @@ def test_exact_clusters_fully_merged(spark, result, corpus):
         assert len(labels) == 1 and None not in labels, f"cluster {cid} split"
 
 
+def test_word_shingle_mode_end_to_end(spark):
+    """Word w-shingle mode drives the same pipeline (config knob from the
+    FIXTURES spec: char 5-shingles default, word shingles optional)."""
+    from minhash_spark.operators.signatures import with_minhash_signature
+    from minhash_spark.operators.lsh import bands_table, candidate_pairs
+    from minhash_spark.operators.verify import verify_pairs
+    from minhash_spark.functions.kernels import min_sketch_batch, sketch_to_long
+    from minhash_spark.functions.shingles import word_shingles
+
+    cfg = DedupConfig(shingle_mode="word", shingle_size=3)
+    base = " ".join(f"w{i}" for i in range(100))
+    near = base.replace("w5 ", "w5x ")
+    far = " ".join(f"z{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [("a", base), ("b", near), ("c", far)], ["url", "text"]
+    )
+    sigs = with_minhash_signature(df, cfg).select("url", "minhash")
+    rows = {r["url"]: np.array(r["minhash"]) for r in sigs.collect()}
+    want = sketch_to_long(min_sketch_batch([word_shingles(base, 3)], cfg.minhash))[0]
+    assert np.array_equal(rows["a"], want)
+    got = verify_pairs(
+        candidate_pairs(bands_table(sigs, cfg), cfg), sigs, cfg, threshold=0.8
+    ).collect()
+    assert {(r["url_a"], r["url_b"]) for r in got} == {("a", "b")}
+
+
 def test_mega_bucket_star_fallback_keeps_cluster_connected(spark):
     """Buckets beyond max_bucket_size switch to O(m) star enumeration — a
     mega near-dup cluster (here: 40 identical docs with cap 5) must still
