@@ -81,63 +81,74 @@ def candidate_pairs(
       CC transitive closure); a junk collision bucket costs O(m) failed
       verifications instead of O(m²).
     """
-    bands = bands.select(F.col(id_col).alias("_id"), "band_id", "band_key")
-    sizes = bands.groupBy("band_id", "band_key").count()
-    small = sizes.filter(F.col("count") <= cfg.max_bucket_size).select(
-        "band_id", "band_key"
+    pairs = tiered_bucket_pairs(
+        bands,
+        bucket_cols=["band_id", "band_key"],
+        id_col=id_col,
+        max_bucket_size=cfg.max_bucket_size,
+        salted_bucket_max=cfg.salted_bucket_max,
+        salt_factor=cfg.salt_factor,
     )
-    mid = sizes.filter(
-        (F.col("count") > cfg.max_bucket_size)
-        & (F.col("count") <= cfg.salted_bucket_max)
-    ).select("band_id", "band_key")
-    big = sizes.filter(F.col("count") > cfg.salted_bucket_max).select(
-        "band_id", "band_key"
-    )
-
-    pruned = bands.join(small, ["band_id", "band_key"])
-    left = pruned.select("band_id", "band_key", F.col("_id").alias("url_a"))
-    right = pruned.select("band_id", "band_key", F.col("_id").alias("url_b"))
-    all_pairs = (
-        left.join(right, ["band_id", "band_key"])
-        .where(F.col("url_a") < F.col("url_b"))
-        .select("url_a", "url_b")
-    )
-
-    s = cfg.salt_factor
-    warm = bands.join(F.broadcast(mid), ["band_id", "band_key"])
-    warm_right = warm.select(
-        "band_id",
-        "band_key",
-        F.pmod(F.xxhash64("_id"), F.lit(s)).alias("_salt"),
-        F.col("_id").alias("url_b"),
-    )
-    warm_left = warm.select(
-        "band_id",
-        "band_key",
-        F.explode(F.sequence(F.lit(0), F.lit(s - 1))).alias("_salt"),
-        F.col("_id").alias("url_a"),
-    ).withColumn("_salt", F.col("_salt").cast("long"))
-    salted_pairs = (
-        warm_left.join(warm_right, ["band_id", "band_key", "_salt"])
-        .where(F.col("url_a") < F.col("url_b"))
-        .select("url_a", "url_b")
-    )
-
-    hot = bands.join(F.broadcast(big), ["band_id", "band_key"])
-    anchors = hot.groupBy("band_id", "band_key").agg(F.min("_id").alias("_anchor"))
-    star_pairs = (
-        hot.join(F.broadcast(anchors), ["band_id", "band_key"])
-        .where(F.col("_id") != F.col("_anchor"))
-        .select(
-            F.least("_id", "_anchor").alias("url_a"),
-            F.greatest("_id", "_anchor").alias("url_b"),
-        )
-    )
-
-    pairs = all_pairs.unionByName(salted_pairs).unionByName(star_pairs)
     # dedup across bands with a partial-agg-friendly groupBy; the band-match
     # count doubles as the candidate pre-filter (cfg.min_band_matches)
     counted = pairs.groupBy("url_a", "url_b").agg(F.count("*").alias("n_bands"))
     if cfg.min_band_matches > 1:
         counted = counted.where(F.col("n_bands") >= cfg.min_band_matches)
     return counted.drop("n_bands")
+
+
+def tiered_bucket_pairs(
+    buckets: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket_size: int,
+    salted_bucket_max: int,
+    salt_factor: int,
+) -> DataFrame:
+    """The shared three-tier pair enumerator over (bucket_cols..., id) rows.
+    Emits one row per (bucket, pair) occurrence — callers dedup/count."""
+    b = buckets.select(F.col(id_col).alias("_id"), *bucket_cols)
+    sizes = b.groupBy(*bucket_cols).count()
+    small = sizes.filter(F.col("count") <= max_bucket_size).select(*bucket_cols)
+    mid = sizes.filter(
+        (F.col("count") > max_bucket_size) & (F.col("count") <= salted_bucket_max)
+    ).select(*bucket_cols)
+    big = sizes.filter(F.col("count") > salted_bucket_max).select(*bucket_cols)
+
+    pruned = b.join(small, bucket_cols)
+    left = pruned.select(*bucket_cols, F.col("_id").alias("url_a"))
+    right = pruned.select(*bucket_cols, F.col("_id").alias("url_b"))
+    all_pairs = (
+        left.join(right, bucket_cols)
+        .where(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b")
+    )
+
+    warm = b.join(F.broadcast(mid), bucket_cols)
+    warm_right = warm.select(
+        *bucket_cols,
+        F.pmod(F.xxhash64("_id"), F.lit(salt_factor)).alias("_salt"),
+        F.col("_id").alias("url_b"),
+    )
+    warm_left = warm.select(
+        *bucket_cols,
+        F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))).alias("_salt"),
+        F.col("_id").alias("url_a"),
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    salted_pairs = (
+        warm_left.join(warm_right, bucket_cols + ["_salt"])
+        .where(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b")
+    )
+
+    hot = b.join(F.broadcast(big), bucket_cols)
+    anchors = hot.groupBy(*bucket_cols).agg(F.min("_id").alias("_anchor"))
+    star_pairs = (
+        hot.join(F.broadcast(anchors), bucket_cols)
+        .where(F.col("_id") != F.col("_anchor"))
+        .select(
+            F.least("_id", "_anchor").alias("url_a"),
+            F.greatest("_id", "_anchor").alias("url_b"),
+        )
+    )
+    return all_pairs.unionByName(salted_pairs).unionByName(star_pairs)

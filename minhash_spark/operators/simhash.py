@@ -72,7 +72,9 @@ def simhash_candidates(
     """(id, simhash) → (url_a, url_b, hamming ≤ max_hamming).
 
     Pigeonhole guarantee needs n_bands = max_hamming + 1 slices; slice width
-    = 64 / n_bands bits. Oversized buckets are capped like the MinHash path.
+    = 64 / n_bands bits. Bucket skew is handled by the shared three-tier
+    enumerator (all-pairs ≤ max_bucket_size, salted all-pairs ≤ 4×, star
+    beyond — only star is approximate, and only for buckets past 4× the cap).
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
@@ -86,22 +88,24 @@ def simhash_candidates(
     slices = F.array(*[_slice(i) for i in range(n_bands)])
     bands = fp_df.select(
         F.col(id_col),
-        F.col(fp_col),
         F.posexplode(slices).alias("band_id", "band_val"),
     )
-    sizes = bands.groupBy("band_id", "band_val").count()
-    keep = sizes.filter(F.col("count") <= max_bucket_size).select("band_id", "band_val")
-    pruned = bands.join(keep, ["band_id", "band_val"])
+    from .lsh import tiered_bucket_pairs
 
-    left = pruned.select(
-        "band_id", "band_val", F.col(id_col).alias("url_a"), F.col(fp_col).alias("fp_a")
-    )
-    right = pruned.select(
-        "band_id", "band_val", F.col(id_col).alias("url_b"), F.col(fp_col).alias("fp_b")
-    )
-    pairs = (
-        left.join(right, ["band_id", "band_val"])
-        .where(F.col("url_a") < F.col("url_b"))
+    raw = tiered_bucket_pairs(
+        bands,
+        bucket_cols=["band_id", "band_val"],
+        id_col=id_col,
+        max_bucket_size=max_bucket_size,
+        salted_bucket_max=4 * max_bucket_size,
+        salt_factor=16,
+    ).distinct()
+
+    fps_a = fp_df.select(F.col(id_col).alias("url_a"), F.col(fp_col).alias("fp_a"))
+    fps_b = fp_df.select(F.col(id_col).alias("url_b"), F.col(fp_col).alias("fp_b"))
+    return (
+        raw.join(fps_a, "url_a")
+        .join(fps_b, "url_b")
         .select(
             "url_a",
             "url_b",
@@ -109,4 +113,3 @@ def simhash_candidates(
         )
         .where(F.col("hamming") <= max_hamming)
     )
-    return pairs.groupBy("url_a", "url_b").agg(F.min("hamming").alias("hamming"))
