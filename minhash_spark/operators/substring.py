@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType, StructType, StructField, StringType
 
-from ..functions.shingles import normalize_text, _fnv1a_bytes
+from ..functions.shingles import normalize_text, fnv1a_many
 
 
 def _word_gram_hashes(text: str, w: int) -> np.ndarray:
@@ -36,12 +36,9 @@ def _word_gram_hashes(text: str, w: int) -> np.ndarray:
     toks = normalize_text(text).split(" ")
     if toks == [""] or len(toks) < w:
         return np.empty(0, dtype=np.uint64)
-    return np.array(
-        [
-            _fnv1a_bytes(b"\x1f".join(t.encode("utf-8") for t in toks[i : i + w]))
-            for i in range(len(toks) - w + 1)
-        ],
-        dtype=np.uint64,
+    enc = [t.encode("utf-8") for t in toks]
+    return fnv1a_many(
+        [b"\x1f".join(enc[i : i + w]) for i in range(len(enc) - w + 1)]
     )
 
 
