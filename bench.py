@@ -52,11 +52,12 @@ N_CLONES = 5  # near-dup cluster size in the amplified corpus
 
 def amplified_docs(spark, sf_dir, amplify: int | None = None):
     """Deterministic corpus amplifier: each source doc becomes
-    amplify/N_CLONES distinct "mutations" (a unique ~150-token filler
-    prefix per (doc, mutation) drops cross-mutation Jaccard to ~0.45 — no
-    dup pair), each mutation cloned N_CLONES times with a tiny suffix edit
-    (within-cluster Jaccard ≈ 0.97 — a true near-dup cluster). Ground truth:
-    every 5-clone group is one cluster; nothing merges across groups."""
+    amplify/N_CLONES distinct "mutations" (a unique 60-token filler prefix
+    per (doc, mutation) — source docs are 12-60 tokens, so cross-mutation
+    Jaccard lands ≤ ~0.35, below threshold), each mutation cloned N_CLONES
+    times with a tiny suffix edit (within-cluster Jaccard ≈ 0.97 — a true
+    near-dup cluster). Ground truth: every 5-clone group is one cluster;
+    nothing merges across groups."""
     amplify = AMPLIFY if amplify is None else amplify
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     reps = d.select(
@@ -70,23 +71,29 @@ def amplified_docs(spark, sf_dir, amplify: int | None = None):
     reps = reps.repartition(2 * default_parallelism())
     mut = (F.col("rep") / N_CLONES).cast("int")
     clone = F.col("rep") % N_CLONES
+    # 40 compact filler tokens, unique part leading so shingles don't share
+    # corpus-wide prefixes: "48213x17". Built via withColumn BEFORE the
+    # shifted-id select — Spark 4 lateral column aliases would otherwise
+    # resolve `doc_id` inside filler to the shifted value, giving every
+    # clone a different filler.
+    salt = F.pmod(F.xxhash64(F.col("doc_id"), mut), F.lit(100000)).cast("string")
     filler = F.concat_ws(
         " ",
         F.transform(
-            F.sequence(F.lit(0), F.lit(149)),
-            lambda k: F.concat(
-                F.lit("m"), mut.cast("string"),
-                F.lit("d"), F.col("doc_id").cast("string"),
-                F.lit("f"), k.cast("string"),
-            ),
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda k: F.concat(salt, F.lit("x"), k.cast("string")),
         ),
     )
-    return reps.select(
-        (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+    amplified = reps.withColumn(
+        "_amp_text",
         F.concat(
             filler, F.lit(" "), F.col("text"),
             F.lit(" clonevariant"), clone.cast("string"),
-        ).alias("text"),
+        ),
+    )
+    return amplified.select(
+        (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+        F.col("_amp_text").alias("text"),
     )
 
 
