@@ -52,12 +52,14 @@ N_CLONES = 5  # near-dup cluster size in the amplified corpus
 
 def amplified_docs(spark, sf_dir, amplify: int | None = None):
     """Deterministic corpus amplifier: each source doc becomes
-    amplify/N_CLONES distinct "mutations" (a unique 60-token filler prefix
-    per (doc, mutation) — source docs are 12-60 tokens, so cross-mutation
-    Jaccard lands ≤ ~0.35, below threshold), each mutation cloned N_CLONES
-    times with a tiny suffix edit (within-cluster Jaccard ≈ 0.97 — a true
-    near-dup cluster). Ground truth: every 5-clone group is one cluster;
-    nothing merges across groups."""
+    amplify/N_CLONES distinct "mutations" — 2/3 of token positions replaced
+    in place by (doc, mutation)-unique tokens, so mutations of one base
+    share ~1/3 scattered vocabulary (realistic hard negatives, J ≈ 0.2-0.3,
+    below threshold, and no contiguous shared block that would make whole
+    band slices collide corpus-wide) — each mutation cloned N_CLONES times
+    with a tiny suffix edit (within-cluster Jaccard ≈ 0.97 — a true near-dup
+    cluster). Ground truth: every 5-clone group is one cluster; nothing
+    merges across groups."""
     amplify = AMPLIFY if amplify is None else amplify
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     reps = d.select(
@@ -71,25 +73,27 @@ def amplified_docs(spark, sf_dir, amplify: int | None = None):
     reps = reps.repartition(2 * default_parallelism())
     mut = (F.col("rep") / N_CLONES).cast("int")
     clone = F.col("rep") % N_CLONES
-    # 40 compact filler tokens, unique part leading so shingles don't share
-    # corpus-wide prefixes: "48213x17". Built via withColumn BEFORE the
-    # shifted-id select — Spark 4 lateral column aliases would otherwise
-    # resolve `doc_id` inside filler to the shifted value, giving every
-    # clone a different filler.
+    # Replacement tokens are compact and (doc, mutation)-unique, unique part
+    # leading ("48213x17") so shingles share no corpus-wide prefixes. Built
+    # via withColumn BEFORE the shifted-id select — Spark 4 lateral column
+    # aliases would otherwise resolve `doc_id` inside the expression to the
+    # shifted value, giving every clone a different mutation.
     salt = F.pmod(F.xxhash64(F.col("doc_id"), mut), F.lit(100000)).cast("string")
-    filler = F.concat_ws(
-        " ",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(39)),
-            lambda k: F.concat(salt, F.lit("x"), k.cast("string")),
+    toks = F.split(F.col("text"), " ")
+    mutated = F.array_join(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda t, i: F.when(
+                F.pmod(i + mut, F.lit(3)) != 0,
+                F.concat(salt, F.lit("x"), i.cast("string")),
+            ).otherwise(t),
         ),
+        " ",
     )
     amplified = reps.withColumn(
         "_amp_text",
-        F.concat(
-            filler, F.lit(" "), F.col("text"),
-            F.lit(" clonevariant"), clone.cast("string"),
-        ),
+        F.concat(mutated, F.lit(" clonevariant"), clone.cast("string")),
     )
     return amplified.select(
         (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),

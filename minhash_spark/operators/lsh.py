@@ -107,15 +107,20 @@ def tiered_bucket_pairs(
 ) -> DataFrame:
     """The shared three-tier pair enumerator over (bucket_cols..., id) rows.
     Emits one row per (bucket, pair) occurrence — callers dedup/count."""
-    b = buckets.select(F.col(id_col).alias("_id"), *bucket_cols)
+    # the bucket table feeds four branches (sizes, pruned, warm, hot) —
+    # persist it once instead of recomputing the upstream explode per branch
+    b = buckets.select(F.col(id_col).alias("_id"), *bucket_cols).persist()
     sizes = b.groupBy(*bucket_cols).count()
-    small = sizes.filter(F.col("count") <= max_bucket_size).select(*bucket_cols)
     mid = sizes.filter(
         (F.col("count") > max_bucket_size) & (F.col("count") <= salted_bucket_max)
     ).select(*bucket_cols)
     big = sizes.filter(F.col("count") > salted_bucket_max).select(*bucket_cols)
-
-    pruned = b.join(small, bucket_cols)
+    # small tier = everything NOT hot: broadcast anti-join against the tiny
+    # hot-key lists instead of an equi-join against the huge small-key list
+    # (the keep-list is ~all buckets — joining it was a full sort-merge of
+    # the band table against itself-sized keys)
+    not_small = mid.unionByName(big)
+    pruned = b.join(F.broadcast(not_small), bucket_cols, "left_anti")
     left = pruned.select(*bucket_cols, F.col("_id").alias("url_a"))
     right = pruned.select(*bucket_cols, F.col("_id").alias("url_b"))
     all_pairs = (

@@ -57,12 +57,13 @@ def verify_pairs(
     side is far smaller than the corpus after banding, and AQE picks
     broadcast when it fits."""
     thr = cfg.jaccard_threshold if threshold is None else threshold
-    a = sig_df.select(
-        F.col(id_col).alias("url_a"), F.col(sig_col).alias("_sig_a")
-    )
-    b = sig_df.select(
-        F.col(id_col).alias("url_b"), F.col(sig_col).alias("_sig_b")
-    )
+    # pack signatures to int32 for the pair joins: every real cell value is
+    # < prime_modulus = 2^31-1 so it fits; the SIG_INFTY_LONG sentinel wraps
+    # to -1 on both sides (no real value maps there) — positional equality
+    # is preserved while shuffle + Arrow bytes halve.
+    packed = F.transform(F.col(sig_col), lambda x: x.cast("int"))
+    a = sig_df.select(F.col(id_col).alias("url_a"), packed.alias("_sig_a"))
+    b = sig_df.select(F.col(id_col).alias("url_b"), packed.alias("_sig_b"))
     est = estimate_jaccard_udf(cfg.minhash.sketch_size)(
         F.col("_sig_a"), F.col("_sig_b")
     )

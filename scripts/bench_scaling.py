@@ -29,7 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # (N cores, 4N cores, corpus amplification). Each pair runs on IDENTICAL
 # input at both levels; the bigger pair gets the bigger corpus so parallel
 # compute dominates fixed scheduling latency.
-PAIRS = [(2, 8, 40), (8, 32, 100)]
+PAIRS = [(2, 8, 100), (8, 32, 100)]
 
 
 def run_bench(cpus: int, sf_dir: str, amplify: int) -> dict:
