@@ -15,8 +15,12 @@ extreme scale should pass a compact id column.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def connected_components(
@@ -42,6 +46,7 @@ def connected_components(
         .localCheckpoint()
     )
 
+    converged = False
     for _ in range(max_iterations):
         # smallest label visible from each vertex through one hop
         nbr_min = (
@@ -66,6 +71,19 @@ def connected_components(
         changed = new_labels.where(F.col("new_label") < F.col("old_label")).limit(1)
         labels = new_labels.select("u", F.col("new_label").alias("label"))
         if changed.count() == 0:
+            converged = True
             break
+
+    if not converged:
+        # a component with diameter > max_iterations would be silently split;
+        # surface it instead (near-dup clusters are near-cliques, so hitting
+        # this means the edge set is pathological — raise max_iterations or
+        # pre-contract with the exact-dup path)
+        logger.warning(
+            "connected_components: min-label propagation did not converge "
+            "within %d iterations — some components may be split into "
+            "multiple cluster_ids",
+            max_iterations,
+        )
 
     return labels.select(F.col("u").alias("url"), F.col("label").alias("cluster_id"))

@@ -12,22 +12,42 @@ from pyspark.sql import functions as F
 
 
 def exact_dup_groups(
-    df: DataFrame, id_col: str = "url", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    members_cap: int | None = None,
 ) -> DataFrame:
-    """Groups of byte-identical text → (text_sha, n_docs, canonical, members).
-    canonical = min id; only groups with ≥ 2 members (actual duplicates)."""
-    return (
-        df.select(
-            F.sha2(F.col(text_col), 256).alias("text_sha"), F.col(id_col).alias("_id")
-        )
-        .groupBy("text_sha")
+    """Groups of byte-identical text → (text_sha, n_docs, canonical[, members]).
+    canonical = min id; only groups with ≥ 2 members (actual duplicates).
+
+    `members` is opt-in and CAPPED: a viral boilerplate group (millions of
+    identical pages) must never materialize one unbounded array row, so the
+    member list keeps only the `members_cap` smallest ids — bounded BEFORE
+    aggregation (window rank filter), not sliced after an unbounded
+    collect_list."""
+    hashed = df.select(
+        F.sha2(F.col(text_col), 256).alias("text_sha"), F.col(id_col).alias("_id")
+    )
+    groups = (
+        hashed.groupBy("text_sha")
         .agg(
             F.count("*").alias("n_docs"),
             F.min("_id").alias("canonical"),
-            F.sort_array(F.collect_list("_id")).alias("members"),
         )
         .where(F.col("n_docs") >= 2)
     )
+    if members_cap is None:
+        return groups
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text_sha").orderBy("_id")
+    capped = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= members_cap)
+        .groupBy("text_sha")
+        .agg(F.sort_array(F.collect_list("_id")).alias("members"))
+    )
+    return groups.join(capped, "text_sha")
 
 
 def dedup_exact(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:

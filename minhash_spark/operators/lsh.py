@@ -25,6 +25,20 @@ from pyspark.sql import functions as F
 
 from ..config import DedupConfig
 
+# Bucket tables persisted by tiered_bucket_pairs, released via
+# release_persisted(). The persist is load-bearing (four plan branches read
+# the same exploded bucket table within one action), but long-lived sessions
+# (pipeline runs, benches, streaming micro-batches) must not leak one cached
+# table per invocation.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> None:
+    """Unpersist every bucket table cached by tiered_bucket_pairs. Call after
+    the returned pair DataFrame has been materialized (count/write)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def bands_table(
     sig_df: DataFrame, cfg: DedupConfig, id_col: str = "url", sig_col: str = "minhash"
@@ -110,6 +124,7 @@ def tiered_bucket_pairs(
     # the bucket table feeds four branches (sizes, pruned, warm, hot) —
     # persist it once instead of recomputing the upstream explode per branch
     b = buckets.select(F.col(id_col).alias("_id"), *bucket_cols).persist()
+    _PERSISTED.append(b)
     sizes = b.groupBy(*bucket_cols).count()
     mid = sizes.filter(
         (F.col("count") > max_bucket_size) & (F.col("count") <= salted_bucket_max)

@@ -1,10 +1,11 @@
-"""Embedding similarity search: brute-force cosine top-k (exact baseline) and
-signed-random-projection LSH buckets (the scale path), plus threshold-based
-embedding-cosine near-duplicate pairs.
+"""Embedding similarity search: exact all-pairs cosine (block-partitioned,
+shuffle-friendly), brute-force top-k (exact ANN baseline), and
+signed-random-projection LSH buckets (the approximate scale path).
 
 Cosine math stays JVM-side (zip_with/aggregate over array<double>, inside
-whole-stage codegen); only the SRP signature uses a pandas UDF (one matmul
-per Arrow batch).
+whole-stage codegen); only the SRP signature uses a pandas UDF (sequential
+per-dimension accumulation so the sign pattern matches DuckDB's
+list_dot_product bit-for-bit — the oracle contract).
 """
 
 from __future__ import annotations
@@ -43,18 +44,43 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold — embedding-based near-dup detection.
-    Exhaustive O(n²) compare; at scale run it per SRP bucket instead
-    (srp_cosine_pairs). Score rounded to 6 dp for stable cross-engine hashes."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    """All pairs with cosine ≥ threshold — the EXACT all-pairs baseline.
+
+    Total compare work is inherently O(n²); what must not be O(n²)-in-one-task
+    is the plan. Rows are hashed into `n_blocks` blocks and the triangular
+    block grid is enumerated with an EQUI-join on (bi, bj) — n_blocks(n_blocks
+    +1)/2 balanced shuffle tasks instead of one BroadcastNestedLoopJoin
+    (the theta-join `id_a < id_b` plan). Each row is replicated n_blocks+1
+    times across the two sides — the standard distributed all-pairs shape.
+    At corpus scale use srp_cosine_pairs; this is the small-n exact baseline
+    and recall oracle. Score rounded to 6 dp for stable cross-engine hashes."""
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    left = e.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bj"),
+        F.col("id").alias("id_l"),
+        F.col("v").alias("vl"),
+    )
+    right = e.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.col("id").alias("id_r"),
+        F.col("v").alias("vr"),
+    )
+    joined = left.join(right, ["bi", "bj"]).where(
+        (F.col("bi") != F.col("bj")) | (F.col("id_l") < F.col("id_r"))
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        joined.select(
+            F.least("id_l", "id_r").alias("id_a"),
+            F.greatest("id_l", "id_r").alias("id_b"),
+            F.round(cosine_col(F.col("vl"), F.col("vr")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -67,9 +93,10 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per query vector (query set broadcast).
-    Ranking uses the 6-dp-rounded score with id tie-break so ordering is
-    deterministic and engine-independent."""
+    """Exact top-k cosine neighbors per query vector (query set broadcast —
+    acceptable because the query side is small by contract; the corpus side
+    streams through in parallel). Ranking uses the 6-dp-rounded score with id
+    tie-break so ordering is deterministic and engine-independent."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -96,7 +123,11 @@ def brute_force_topk(
 def srp_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
     """Signed-random-projection signature: sign pattern of n_planes
     hyperplane projections packed into one long. Deterministic planes from
-    the seed; one numpy matmul per Arrow batch."""
+    the seed. The projection accumulates per-dimension SEQUENTIALLY
+    (acc += x_d · p_d), the same left-to-right order as a scalar dot-product
+    loop — so DuckDB's list_dot_product computes bit-identical sums and the
+    sign pattern (bucket id) is oracle-checkable. Still one vectorized numpy
+    pass over the Arrow batch (dim rank-1 updates on an (n, planes) matrix)."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))
     weights = (1 << np.arange(n_planes, dtype=np.uint64)).astype(np.uint64)
@@ -104,7 +135,10 @@ def srp_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
     @pandas_udf(LongType())
     def _srp(vecs: pd.Series) -> pd.Series:
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (X @ planes) > 0
+        acc = np.zeros((X.shape[0], planes.shape[1]), dtype=np.float64)
+        for d in range(planes.shape[0]):
+            acc += X[:, d : d + 1] * planes[d]
+        bits = acc > 0
         sig = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
         return pd.Series(sig.astype(np.int64))
 
@@ -117,30 +151,56 @@ def srp_cosine_pairs(
     dim: int,
     n_planes: int = 16,
     seed: int = 42,
+    n_sets: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 20_000,
+    salted_bucket_max: int = 100_000,
 ) -> DataFrame:
     """Approximate near-dup pairs: bucket by SRP signature, exact cosine
     within buckets. The O(n²) compare becomes O(Σ bucket²) — the ANN scale
-    path. Recall < 1 by construction (report measures it vs brute force)."""
-    sig = srp_signature_udf(dim, n_planes, seed)
-    bucketed = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig(F.col(vec_col)).alias("bucket")
-    )
-    a = bucketed.select(
-        F.col("bucket"), F.col("id").alias("id_a"), F.col("v").alias("va")
-    )
-    b = bucketed.select(
-        F.col("bucket"), F.col("id").alias("id_b"), F.col("v").alias("vb")
-    )
+    path.
+
+    Recall levers: `n_sets` independent plane sets (seed+s) — a pair missed
+    by one sign pattern is caught by another (multi-probe analog; recall
+    1-(1-p)^n_sets for per-set collision probability p). Skew: bucket pair
+    enumeration goes through the shared three-tier enumerator, so a
+    degenerate bucket (e.g. all-zero vectors, or a dominant-direction corpus)
+    is salted then star-capped instead of producing one O(m²) task."""
+    from .lsh import tiered_bucket_pairs
+
+    sets = []
+    for s in range(n_sets):
+        sig = srp_signature_udf(dim, n_planes, seed + s)
+        sets.append(
+            emb.select(
+                F.lit(s).alias("set_id"),
+                F.col(id_col).alias("id"),
+                sig(F.col(vec_col)).alias("bucket"),
+            )
+        )
+    bucketed = sets[0]
+    for s_df in sets[1:]:
+        bucketed = bucketed.unionByName(s_df)
+
+    raw = tiered_bucket_pairs(
+        bucketed,
+        bucket_cols=["set_id", "bucket"],
+        id_col="id",
+        max_bucket_size=max_bucket_size,
+        salted_bucket_max=salted_bucket_max,
+        salt_factor=16,
+    ).distinct()
+
+    va = emb.select(F.col(id_col).alias("url_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("url_b"), F.col(vec_col).alias("vb"))
     return (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
+        raw.join(va, "url_a")
+        .join(vb, "url_b")
         .select(
-            "id_a",
-            "id_b",
+            F.col("url_a").alias("id_a"),
+            F.col("url_b").alias("id_b"),
             F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
-        .distinct()
     )

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
-from ..config import DedupConfig
+from ..config import DedupConfig, SIG_INFTY_LONG
 
 
 def estimate_jaccard(sig_a: Column, sig_b: Column, sketch_size: int) -> Column:
@@ -58,10 +58,18 @@ def verify_pairs(
     broadcast when it fits."""
     thr = cfg.jaccard_threshold if threshold is None else threshold
     # pack signatures to int32 for the pair joins: every real cell value is
-    # < prime_modulus = 2^31-1 so it fits; the SIG_INFTY_LONG sentinel wraps
-    # to -1 on both sides (no real value maps there) — positional equality
-    # is preserved while shuffle + Arrow bytes halve.
-    packed = F.transform(F.col(sig_col), lambda x: x.cast("int"))
+    # < prime_modulus = 2^31-1 so it fits; the SIG_INFTY_LONG sentinel maps
+    # explicitly to -1 on both sides (no real value maps there) — positional
+    # equality is preserved while shuffle + Arrow bytes halve. The mapping
+    # must be explicit: Spark 4 runs ANSI mode by default, where a plain
+    # .cast("int") of 2^63-1 raises CAST_OVERFLOW (two empty documents in a
+    # corpus produce all-sentinel signatures that meet in every band).
+    packed = F.transform(
+        F.col(sig_col),
+        lambda x: F.when(x == SIG_INFTY_LONG, F.lit(-1)).otherwise(
+            x.cast("int")
+        ),
+    )
     a = sig_df.select(F.col(id_col).alias("url_a"), packed.alias("_sig_a"))
     b = sig_df.select(F.col(id_col).alias("url_b"), packed.alias("_sig_b"))
     est = estimate_jaccard_udf(cfg.minhash.sketch_size)(

@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .config import DedupConfig, MinHashConfig
+from .config import DedupConfig, MinHashConfig, HASH_KWISE
+from . import oracle_sql
 from .operators.signatures import with_minhash_signature
 from .operators.lsh import bands_table, candidate_pairs
 from .operators.verify import verify_pairs
@@ -38,6 +39,11 @@ from .operators.multimodal import extract_media_features
 from .sources.tables import load_table
 
 CFG = DedupConfig(minhash=MinHashConfig(sketch_size=128, seed=42))
+# k-wise polynomial hash family end-to-end (the reference's hash_type=1,
+# /root/reference/src/utils/hash.c:13-25) — same banding geometry.
+CFG_KWISE = DedupConfig(
+    minhash=MinHashConfig(sketch_size=128, seed=42, hash_type=HASH_KWISE)
+)
 
 _SHIFT = 10_000_000  # id offset for the deterministic duplicated-corpus union
 _EMB_SHIFT = 100_000
@@ -536,12 +542,35 @@ FROM events GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
-# rows-only queries (non-SQL-expressible: sketches / probabilistic paths)
+# sketch/fingerprint queries — oracled by re-deriving the exact integer
+# semantics in DuckDB SQL (oracle_sql.py): FNV shingles, universal hashing,
+# column-min sketch, SimHash bit sign-sums, polynomial fingerprint, SRP signs
 # --------------------------------------------------------------------------
+
+def _exploded_signature(d: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(doc_id, pos, value) — harness-canonicalizable signature shape (array
+    columns can't be hashed by the driver's pandas canonicalizer)."""
+    sigs = with_minhash_signature(d, cfg)
+    return sigs.select(
+        "doc_id", F.posexplode("minhash").alias("pos", "value")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
 
 def q_minhash_signatures(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return with_minhash_signature(d, CFG).select("doc_id", "minhash")
+    return _exploded_signature(d, CFG)
+
+
+SQL_MINHASH_SIGNATURES = oracle_sql.signature_cells_sql(CFG)
+
+
+def q_minhash_signatures_kwise(spark, sf_dir):
+    """The k-wise polynomial hash family end-to-end (hash_type=1)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _exploded_signature(d, CFG_KWISE)
+
+
+SQL_MINHASH_SIGNATURES_KWISE = oracle_sql.signature_cells_sql(CFG_KWISE)
 
 
 def q_simhash_fingerprints(spark, sf_dir):
@@ -549,14 +578,22 @@ def q_simhash_fingerprints(spark, sf_dir):
     return with_simhash(d).select("doc_id", "simhash")
 
 
+SQL_SIMHASH_FINGERPRINTS = oracle_sql.simhash_fingerprints_sql()
+
+
 def q_doc_fingerprints(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return with_fingerprint(d).select("doc_id", "fingerprint")
 
 
+SQL_DOC_FINGERPRINTS = oracle_sql.doc_fingerprints_sql()
+
+
 def q_near_dup_pairs(spark, sf_dir):
     """Fuzzy near-dup pairs over the raw documents table at threshold 0.5 —
-    probabilistic LSH candidates; verified estimate is reported."""
+    the full signature → LSH bands → candidates → verify path at a sub-1.0
+    threshold. Oracled end-to-end: the SQL recomputes the signatures and
+    band-slice collisions exactly."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = with_minhash_signature(d, CFG).select("doc_id", "minhash")
     bands = bands_table(sigs, CFG, id_col="doc_id")
@@ -566,7 +603,13 @@ def q_near_dup_pairs(spark, sf_dir):
     )
 
 
+SQL_NEAR_DUP_PAIRS = oracle_sql.near_dup_pairs_sql(CFG, threshold=0.5)
+
+
 def q_simhash_candidate_pairs(spark, sf_dir):
+    """Pigeonhole banding (n_bands = max_hamming+1 slices) has guaranteed
+    recall at the radius, so banding + hamming verify equals the oracle's
+    brute-force all-pairs hamming join exactly."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     fps = with_simhash(d)
     return simhash_candidates(fps, id_col="doc_id", max_hamming=3).select(
@@ -574,11 +617,28 @@ def q_simhash_candidate_pairs(spark, sf_dir):
     )
 
 
+SQL_SIMHASH_CANDIDATE_PAIRS = oracle_sql.simhash_pairs_sql(max_hamming=3)
+
+
+_SRP_PLANES = 8
+_SRP_SETS = 2
+
+
 def q_srp_ann_pairs(spark, sf_dir):
     u = _emb_union(spark, sf_dir)
-    return srp_cosine_pairs(u, threshold=0.5, dim=64, n_planes=8).select(
-        "id_a", "id_b", "cosine"
-    )
+    return srp_cosine_pairs(
+        u, threshold=0.5, dim=64, n_planes=_SRP_PLANES, n_sets=_SRP_SETS
+    ).select("id_a", "id_b", "cosine")
+
+
+SQL_SRP_ANN_PAIRS = oracle_sql.srp_pairs_sql(
+    threshold=0.5,
+    dim=64,
+    n_planes=_SRP_PLANES,
+    seed=42,
+    emb_shift=_EMB_SHIFT,
+    n_sets=_SRP_SETS,
+)
 
 
 # --------------------------------------------------------------------------
@@ -604,8 +664,8 @@ QUERIES = {
     "top3_orders_per_customer": q_top3_orders_per_customer,
     "customers_without_orders": q_customers_without_orders,
     "events_hourly": q_events_hourly,
-    # rows-only (no SQL oracle)
     "minhash_signatures": q_minhash_signatures,
+    "minhash_signatures_kwise": q_minhash_signatures_kwise,
     "simhash_fingerprints": q_simhash_fingerprints,
     "doc_fingerprints": q_doc_fingerprints,
     "near_dup_pairs": q_near_dup_pairs,
@@ -632,4 +692,11 @@ ORACLE_SQL = {
     "top3_orders_per_customer": SQL_TOP3_ORDERS_PER_CUSTOMER,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "minhash_signatures_kwise": SQL_MINHASH_SIGNATURES_KWISE,
+    "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
+    "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+    "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
+    "simhash_candidate_pairs": SQL_SIMHASH_CANDIDATE_PAIRS,
+    "srp_ann_pairs": SQL_SRP_ANN_PAIRS,
 }
