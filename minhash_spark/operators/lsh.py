@@ -62,8 +62,14 @@ def bands_table(
 
 
 def bucket_stats(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Bucket-size distribution + overflow accounting for the metrics table."""
-    sizes = bands.groupBy("band_id", "band_key").count()
+    """Bucket-size distribution + overflow accounting for the metrics table.
+    Prefer bucket_sizes_stats over the sizes DF that candidate_pairs exposes
+    via `sizes_out` — it reuses the cached bucket table instead of re-running
+    the banding explode."""
+    return bucket_sizes_stats(bands.groupBy("band_id", "band_key").count(), cfg)
+
+
+def bucket_sizes_stats(sizes: DataFrame, cfg: DedupConfig) -> DataFrame:
     return sizes.agg(
         F.count("*").alias("n_buckets"),
         F.max("count").alias("max_bucket"),
@@ -77,7 +83,10 @@ def bucket_stats(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def candidate_pairs(
-    bands: DataFrame, cfg: DedupConfig, id_col: str = "url"
+    bands: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "url",
+    sizes_out: list | None = None,
 ) -> DataFrame:
     """Distinct candidate (url_a, url_b) with url_a < url_b — three skew
     tiers, because a hot band key cannot be split by AQE (skew split is
@@ -102,6 +111,7 @@ def candidate_pairs(
         max_bucket_size=cfg.max_bucket_size,
         salted_bucket_max=cfg.salted_bucket_max,
         salt_factor=cfg.salt_factor,
+        sizes_out=sizes_out,
     )
     # dedup across bands with a partial-agg-friendly groupBy; the band-match
     # count doubles as the candidate pre-filter (cfg.min_band_matches)
@@ -118,14 +128,20 @@ def tiered_bucket_pairs(
     max_bucket_size: int,
     salted_bucket_max: int,
     salt_factor: int,
+    sizes_out: list | None = None,
 ) -> DataFrame:
     """The shared three-tier pair enumerator over (bucket_cols..., id) rows.
-    Emits one row per (bucket, pair) occurrence — callers dedup/count."""
+    Emits one row per (bucket, pair) occurrence — callers dedup/count.
+    `sizes_out`, if given, receives the bucket-size DF (reads the cached
+    bucket table — evaluate it AFTER materializing the pairs, and before
+    release_persisted())."""
     # the bucket table feeds four branches (sizes, pruned, warm, hot) —
     # persist it once instead of recomputing the upstream explode per branch
     b = buckets.select(F.col(id_col).alias("_id"), *bucket_cols).persist()
     _PERSISTED.append(b)
     sizes = b.groupBy(*bucket_cols).count()
+    if sizes_out is not None:
+        sizes_out.append(sizes)
     mid = sizes.filter(
         (F.col("count") > max_bucket_size) & (F.col("count") <= salted_bucket_max)
     ).select(*bucket_cols)

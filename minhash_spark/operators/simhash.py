@@ -25,30 +25,59 @@ _FNV_PRIME = np.uint64(1099511628211)
 _BITS = np.arange(64, dtype=np.uint64)
 
 
-def _token_hashes(text: str) -> tuple[np.ndarray, np.ndarray]:
-    """Distinct token FNV-1a hashes + counts (weights) for one document —
-    vectorized length-grouped FNV (functions.shingles.fnv1a_many)."""
-    toks = normalize_text(text).split(" ")
-    if toks == [""]:
-        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
-    hashes = fnv1a_many([t.encode("utf-8") for t in toks])
-    return np.unique(hashes, return_counts=True)
+def simhash_batch(texts, chunk_tokens: int = 1 << 17) -> np.ndarray:
+    """SimHash fingerprints for a batch of texts → uint64[n].
+
+    Vectorized ACROSS the batch: all token occurrences are flattened into one
+    array, FNV-1a hashed via the length-grouped matrix fold
+    (shingles.fnv1a_many), expanded to a (tokens × 64) ±1 sign matrix, and
+    reduced per document with np.add.reduceat. Summing ±1 per OCCURRENCE
+    equals the count-weighted distinct-token form (w·(2b−1) summed over
+    distinct tokens), so values are identical to the per-document loop this
+    replaces. Token chunks are bounded (chunk_tokens × 64 int32 ≈ 32 MB) so
+    32 concurrent workers don't blow the cache/DRAM budget; per-doc sums fold
+    across chunk boundaries (addition is associative)."""
+    n = len(texts)
+    counts = np.zeros(n, dtype=np.int64)
+    flat: list[bytes] = []
+    for i, t in enumerate(texts):
+        toks = normalize_text(t).split(" ")
+        if toks == [""]:
+            continue
+        counts[i] = len(toks)
+        flat.extend(tok.encode("utf-8") for tok in toks)
+    out = np.zeros(n, dtype=np.uint64)
+    if not flat:
+        return out
+    H = fnv1a_many(flat)
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    nonempty = counts > 0
+    doc_starts = starts[nonempty]
+    v = np.zeros((int(nonempty.sum()), 64), dtype=np.int64)
+    total = H.shape[0]
+    pos = 0
+    while pos < total:
+        end = min(pos + chunk_tokens, total)
+        signed = (
+            ((H[pos:end, None] >> _BITS[None, :]) & np.uint64(1)).astype(np.int32)
+        )
+        signed = 2 * signed - 1
+        first = int(np.searchsorted(doc_starts, pos, side="right")) - 1
+        last = int(np.searchsorted(doc_starts, end - 1, side="right")) - 1
+        seg_starts = np.maximum(doc_starts[first : last + 1], pos) - pos
+        v[first : last + 1] += np.add.reduceat(signed, seg_starts, axis=0)
+        pos = end
+    fp = ((v > 0).astype(np.uint64) * (np.uint64(1) << _BITS)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[nonempty] = fp
+    return out
 
 
 def simhash_udf():
     @pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            h, w = _token_hashes(t)
-            if h.shape[0] == 0:
-                continue
-            bits = ((h[:, None] >> _BITS[None, :]) & np.uint64(1)).astype(np.int64)
-            v = ((2 * bits - 1) * w[:, None]).sum(axis=0)
-            out[i] = np.bitwise_or.reduce(
-                np.where(v > 0, np.uint64(1), np.uint64(0)) << _BITS
-            )
-        return pd.Series(out.astype(np.int64))
+        return pd.Series(simhash_batch(list(texts)).astype(np.int64))
 
     return _simhash
 

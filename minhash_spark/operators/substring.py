@@ -1,5 +1,5 @@
-"""Suffix-array substring-dedup path — finds documents whose (normalized)
-text is contained verbatim inside another document.
+"""Substring-dedup path — finds documents whose (normalized) text is
+contained verbatim inside another document.
 
 Candidate generation is DETERMINISTIC, not probabilistic LSH: if doc A's
 normalized token sequence occurs inside doc B's, then A's word w-grams occupy
@@ -14,19 +14,22 @@ Therefore:
 
 This trades index size (1/winnow_k of all shingles) against a minimum
 containee length — the standard production tradeoff; shorter docs are covered
-by the exact/MinHash paths. Verification builds a per-container suffix array
-(partition-local, inside applyInPandas) and binary-searches each candidate
-containee — repeated probes against the same container amortize the sort.
+by the exact/MinHash paths. Verification is a pure JVM expression: normalize
+both texts with built-in string functions and test `contains` — C-speed
+substring search inside whole-stage codegen, no Python after the candidate
+join. (An earlier revision built per-container Python suffix arrays; for the
+handful of probes a container sees after winnowed candidate generation, a
+direct contains beats constructing any index.)
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType, StructType, StructField, StringType
+from pyspark.sql.types import ArrayType, LongType
 
 from ..functions.shingles import normalize_text, fnv1a_many
 
@@ -94,22 +97,10 @@ def containment_candidates(
     )
 
 
-def _build_suffix_array(s: str) -> list[int]:
-    """Plain suffix array by sorted suffixes. Partition-local and bounded by
-    per-document length; containers beyond ~100k chars should be chunked
-    upstream."""
-    return sorted(range(len(s)), key=lambda i: s[i:])
-
-
-def _contains_via_suffix_array(container: str, sa: list[int], needle: str) -> bool:
-    lo, hi = 0, len(sa)
-    while lo < hi:
-        mid = (lo + hi) // 2
-        if container[sa[mid] : sa[mid] + len(needle)] < needle:
-            lo = mid + 1
-        else:
-            hi = mid
-    return lo < len(sa) and container[sa[lo] : sa[lo] + len(needle)] == needle
+def normalize_col(c: Column) -> Column:
+    """JVM normalization matching functions.shingles.normalize_text for ASCII
+    text: lowercase, whitespace runs → single space, strip."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
 def verify_containment(
@@ -118,45 +109,30 @@ def verify_containment(
     id_col: str = "url",
     text_col: str = "text",
 ) -> DataFrame:
-    """Verify candidates by exact substring search of normalized text using a
-    per-container suffix array → (containee, container)."""
-    texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttext"))
-    joined = (
+    """Verify candidates by exact substring search of normalized text —
+    JVM `contains` inside whole-stage codegen → (containee, container).
+    Empty containees never match (contains('', x) would be vacuously true)."""
+    texts = df.select(
+        F.col(id_col).alias("_tid"), normalize_col(F.col(text_col)).alias("_nt")
+    )
+    return (
         candidates.join(
-            texts.withColumnRenamed("_tid", "containee").withColumnRenamed(
-                "_ttext", "containee_text"
+            texts.select(
+                F.col("_tid").alias("containee"), F.col("_nt").alias("_needle")
             ),
             "containee",
         )
         .join(
-            texts.withColumnRenamed("_tid", "container").withColumnRenamed(
-                "_ttext", "container_text"
+            texts.select(
+                F.col("_tid").alias("container"), F.col("_nt").alias("_hay")
             ),
             "container",
         )
+        .where(
+            (F.length("_needle") > 0) & F.contains(F.col("_hay"), F.col("_needle"))
+        )
+        .select("containee", "container")
     )
-
-    # id columns keep whatever type the caller uses (string url, long doc_id)
-    schema = StructType(
-        [
-            StructField("containee", candidates.schema["containee"].dataType),
-            StructField("container", candidates.schema["container"].dataType),
-        ]
-    )
-
-    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf.empty:
-            return pd.DataFrame(columns=["containee", "container"])
-        container_text = normalize_text(pdf["container_text"].iloc[0])
-        sa = _build_suffix_array(container_text)
-        hits = []
-        for _, row in pdf.iterrows():
-            needle = normalize_text(row["containee_text"])
-            if needle and _contains_via_suffix_array(container_text, sa, needle):
-                hits.append((row["containee"], row["container"]))
-        return pd.DataFrame(hits, columns=["containee", "container"])
-
-    return joined.groupBy("container").applyInPandas(_verify, schema)
 
 
 def substring_dedup(

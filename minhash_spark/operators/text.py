@@ -111,27 +111,46 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 _FP_BASE = np.uint64(1099511628211)
 
 
+def fingerprint_batch(texts, block: int = 256) -> np.ndarray:
+    """fp = Σ byte_i · BASE^(n-1-i) mod 2^64 for a batch of texts → uint64[n].
+
+    Vectorized ACROSS documents: Horner (h = h·BASE + byte) folds one padded
+    (docs × maxlen) byte matrix column by column. Padding is LEADING zeros —
+    0·BASE^k contributes nothing, so padded values are exactly the unpadded
+    fingerprint. Documents are length-sorted and processed in blocks so one
+    long outlier doesn't pad the whole batch to its length."""
+    n = len(texts)
+    enc = [
+        t.encode("utf-8") if isinstance(t, str) and len(t) > 0 else b""
+        for t in texts
+    ]
+    out = np.zeros(n, dtype=np.uint64)
+    order = np.argsort([len(e) for e in enc], kind="stable")
+    with np.errstate(over="ignore"):
+        for b0 in range(0, n, block):
+            idx = order[b0 : b0 + block]
+            group = [enc[i] for i in idx]
+            L = max(len(e) for e in group)
+            if L == 0:
+                continue
+            mat = np.zeros((len(group), L), dtype=np.uint64)
+            for r, e in enumerate(group):
+                if e:
+                    mat[r, L - len(e):] = np.frombuffer(e, dtype=np.uint8)
+            h = np.zeros(len(group), dtype=np.uint64)
+            for j in range(L):
+                h = h * _FP_BASE + mat[:, j]
+            out[idx] = h
+    return out
+
+
 def fingerprint_udf():
-    """64-bit polynomial rolling fingerprint of the raw text bytes:
-    fp = sum(byte_i * BASE^(n-1-i)) mod 2^64, computed as a cumulative
-    Horner pass vectorized over the byte array."""
+    """64-bit polynomial rolling fingerprint of the raw text bytes — one
+    batch-vectorized padded Horner fold per Arrow batch (fingerprint_batch)."""
 
     @pandas_udf(LongType())
     def _fp(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for i, t in enumerate(texts):
-                if t is None or len(t) == 0:
-                    continue
-                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-                # Horner collapsed: fp = Σ byte_i · BASE^(n-1-i) mod 2^64;
-                # powers via wrapping cumprod (uint64 cumprod is modular)
-                n = b.shape[0]
-                powers = np.full(n, _FP_BASE, dtype=np.uint64)
-                powers[0] = np.uint64(1)
-                powers = np.cumprod(powers)[::-1]
-                out[i] = np.sum(b * powers, dtype=np.uint64)
-        return pd.Series(out.astype(np.int64))
+        return pd.Series(fingerprint_batch(list(texts)).astype(np.int64))
 
     return _fp
 

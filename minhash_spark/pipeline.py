@@ -31,7 +31,12 @@ from pyspark.sql import functions as F
 
 from .config import DedupConfig
 from .operators.signatures import with_minhash_signature
-from .operators.lsh import bands_table, candidate_pairs, bucket_stats
+from .operators.lsh import (
+    bands_table,
+    candidate_pairs,
+    bucket_sizes_stats,
+    release_persisted,
+)
 from .operators.verify import verify_pairs
 from .operators.cluster import connected_components
 from .operators.exact import exact_dup_groups
@@ -119,10 +124,15 @@ class DedupPipeline:
         t0 = time.time()
         sigs = self.spark.read.parquet(signatures_path).select("url", "minhash")
         bands = bands_table(sigs, self.cfg)
-        stats = bucket_stats(bands, self.cfg).collect()[0].asDict()
-        cands = candidate_pairs(bands, self.cfg)
+        sizes_out: list = []
+        cands = candidate_pairs(bands, self.cfg, sizes_out=sizes_out)
         verified = verify_pairs(cands, sigs, self.cfg)
         verified.write.mode("overwrite").parquet(out)
+        # stats AFTER the write: the bucket table is cached by the pair
+        # enumerator and populated during the write, so this groupBy reads
+        # the cache instead of re-running the banding explode as a second job
+        stats = bucket_sizes_stats(sizes_out[0], self.cfg).collect()[0].asDict()
+        release_persisted()
         n = self.spark.read.parquet(out).count()
         self._log_metric(
             "pairs", n_verified_pairs=n, seconds=time.time() - t0, **stats

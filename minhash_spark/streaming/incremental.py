@@ -73,36 +73,66 @@ def stream_signatures(
     return writer.start()
 
 
+def _store_subdirs(store_path: str) -> tuple[str, str]:
+    return os.path.join(store_path, "signatures"), os.path.join(store_path, "bands")
+
+
+def _has_batches(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        d.startswith("batch_id=") for d in os.listdir(path)
+    )
+
+
 def incremental_dedup_batch(
     spark: SparkSession,
     batch_df: DataFrame,
     store_path: str,
     cfg: DedupConfig | None = None,
+    epoch_id: int = 0,
 ) -> DataFrame:
     """Dedup one micro-batch against the accumulated signature store:
-    signatures for the batch, band join against store ∪ batch, verified
-    pairs returned; batch signatures appended to the store. Designed for
-    foreachBatch — idempotence comes from the streaming checkpoint (a batch
-    is re-run only if it never committed)."""
+    signatures + LSH bands for the batch, band join of the new bands against
+    the PERSISTED band store ∪ batch bands, verified pairs returned; batch
+    signatures and bands appended to the store. Designed for foreachBatch
+    (pass its epoch_id through).
+
+    Scale + exactly-once design:
+    - The band table is a persisted, incrementally-grown store
+      (`<store>/bands/batch_id=N/`), NOT recomputed from all signatures each
+      micro-batch — at corpus scale re-banding the store would make every
+      batch O(corpus).
+    - Store writes are IDEMPOTENT per batch: each batch overwrites its own
+      batch_id-keyed partition directory, so a foreachBatch replay (failure
+      after the store write but before the sink commit) rewrites the same
+      data instead of appending duplicates that would inflate band-match
+      counts forever. The streaming checkpoint alone cannot provide this —
+      the store write is a side effect outside the sink transaction.
+    """
     cfg = cfg or DedupConfig()
+    sig_store, band_store = _store_subdirs(store_path)
     batch_sigs = with_minhash_signature(
         batch_df.select("url", "text"), cfg
     ).select("url", "minhash").persist()
+    new_bands = bands_table(batch_sigs, cfg).persist()
 
-    if os.path.exists(os.path.join(store_path, "_SUCCESS")) or (
-        os.path.isdir(store_path) and any(
-            f.endswith(".parquet") for f in os.listdir(store_path)
+    all_sigs = batch_sigs
+    all_bands = new_bands
+    if _has_batches(sig_store):
+        # exclude any partial state this same epoch left behind on a failed
+        # previous attempt (it is about to be overwritten)
+        prev_sigs = spark.read.parquet(sig_store).where(
+            F.col("batch_id") != epoch_id
         )
-    ):
-        store = spark.read.parquet(store_path)
-        all_sigs = store.unionByName(batch_sigs)
-    else:
-        all_sigs = batch_sigs
+        prev_bands = spark.read.parquet(band_store).where(
+            F.col("batch_id") != epoch_id
+        )
+        all_sigs = prev_sigs.select("url", "minhash").unionByName(batch_sigs)
+        all_bands = prev_bands.select("url", "band_id", "band_key").unionByName(
+            new_bands
+        )
 
     # candidates restricted to pairs touching the new batch: join new-batch
     # bands against the full band table (left side small → broadcast-able)
-    all_bands = bands_table(all_sigs, cfg)
-    new_bands = bands_table(batch_sigs, cfg)
     joined = (
         new_bands.select("band_id", "band_key", F.col("url").alias("url_a"))
         .join(
@@ -121,6 +151,12 @@ def incremental_dedup_batch(
     )
     verified = verify_pairs(joined, all_sigs, cfg)
 
-    batch_sigs.write.mode("append").parquet(store_path)
+    batch_sigs.write.mode("overwrite").parquet(
+        os.path.join(sig_store, f"batch_id={epoch_id}")
+    )
+    new_bands.write.mode("overwrite").parquet(
+        os.path.join(band_store, f"batch_id={epoch_id}")
+    )
     batch_sigs.unpersist()
+    new_bands.unpersist()
     return verified

@@ -6,9 +6,8 @@ brute-force ground truth — not just approximate it."""
 import numpy as np
 import pytest
 
-from minhash_spark.functions.shingles import normalize_text
+from minhash_spark.functions.shingles import normalize_text, fnv1a_many
 from minhash_spark.operators.simhash import (
-    _token_hashes,
     _BITS,
     with_simhash,
     simhash_candidates,
@@ -27,7 +26,13 @@ def corpus():
 
 
 def _simhash_local(t) -> int:
-    h, w = _token_hashes(t)
+    """Independent count-weighted distinct-token SimHash (the batched kernel
+    sums ±1 per occurrence — algebraically identical; this stays the
+    differential cross-check)."""
+    toks = normalize_text(t).split(" ")
+    if toks == [""]:
+        return 0
+    h, w = np.unique(fnv1a_many([x.encode("utf-8") for x in toks]), return_counts=True)
     if h.shape[0] == 0:
         return 0
     bits = ((h[:, None] >> _BITS[None, :]) & np.uint64(1)).astype(np.int64)

@@ -56,9 +56,14 @@ def test_incremental_dedup_matches_batch(spark, tmp_path_factory):
     half1 = df.where(F.crc32("url") % 2 == 0)
     half2 = df.where(F.crc32("url") % 2 == 1)
 
-    pairs1 = incremental_dedup_batch(spark, half1, store, CFG)
+    pairs1 = incremental_dedup_batch(spark, half1, store, CFG, epoch_id=0)
     got = {(r["url_a"], r["url_b"]) for r in pairs1.collect()}
-    pairs2 = incremental_dedup_batch(spark, half2, store, CFG)
+    # replay epoch 0 (foreachBatch redelivery after a failure): the store
+    # write must be idempotent — same batch_id partition overwritten, same
+    # pairs returned, no duplicate state accumulated
+    replay = incremental_dedup_batch(spark, half1, store, CFG, epoch_id=0)
+    assert {(r["url_a"], r["url_b"]) for r in replay.collect()} == got
+    pairs2 = incremental_dedup_batch(spark, half2, store, CFG, epoch_id=1)
     got |= {(r["url_a"], r["url_b"]) for r in pairs2.collect()}
 
     # batch reference: full pipeline over everything at once
