@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from minhash_spark.config import DedupConfig, MinHashConfig
 from minhash_spark.session import get_spark, default_parallelism
 from minhash_spark.operators.signatures import with_minhash_signature
-from minhash_spark.operators.lsh import bands_table, candidate_pairs
+from minhash_spark.operators.lsh import bands_table, candidate_pairs, release_persisted
 from minhash_spark.operators.verify import verify_pairs
 from minhash_spark.operators.cluster import connected_components
 from minhash_spark.operators.simhash import with_simhash, simhash_candidates
@@ -117,6 +117,7 @@ def bench_dedup_minhash(spark, sf_dir) -> tuple[float, int]:
     dt = time.time() - t0
     sigs.unpersist()
     verified.unpersist()
+    release_persisted()
     assert n_clustered > 0
     return dt, n_docs
 
@@ -132,6 +133,9 @@ def main() -> None:
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
+        # bucket tables cached by the tiered pair enumerator are scoped to
+        # one query here — don't let them stack up across the bench session
+        release_persisted()
 
     # headline: full dedup pipeline (timed inside, excludes input count)
     dedup_sec, n_docs = bench_dedup_minhash(spark, sf_dir)

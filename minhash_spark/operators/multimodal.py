@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched mapInPandas.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-``decode_media`` raises NotImplementedError for real codecs, and
-``fake_decode`` provides a deterministic stand-in so the Spark-side plumbing
-— schema, partitioning, UDF signature, batch shape — is real and tested.
-Swapping in Pillow/torchaudio later only replaces the per-batch kernel.
+Uncompressed container formats are decoded FOR REAL in pure numpy — BMP
+(24-bit uncompressed) and WAV (PCM16) below parse the actual on-disk layout
+(header validation, bottom-up BGR rows, little-endian samples). Compressed
+codecs (JPEG/PNG/MP3/video) are STUBBED behind NotImplementedError — this
+container has no codec libraries — with ``fake_decode`` as the deterministic
+stand-in so the Spark-side plumbing (schema, partitioning, UDF signature,
+batch shape) stays real and tested either way. Swapping in Pillow/torchaudio
+later only replaces the per-batch kernel.
 """
 
 from __future__ import annotations
@@ -19,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     LongType,
     StringType,
@@ -37,9 +41,88 @@ MEDIA_META_SCHEMA = StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# real decoders: BMP 24-bit uncompressed, WAV PCM16 — pure numpy
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def encode_bmp24(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 BGR pixel array → uncompressed 24-bit BMP bytes
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, 4-byte row
+    stride)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1].reshape(h, w * 3)  # bottom-up
+    return header + rows.tobytes()
+
+
+def decode_bmp24(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP bytes → (h, w, 3) uint8 BGR array. Validates
+    magic, bit depth, and compression — a real parse of the on-disk layout,
+    not a stub."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (got bpp={bpp}, comp={comp})")
+    stride = (w * 3 + 3) & ~3
+    flipped = h > 0
+    h = abs(h)
+    body = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = body.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1] if flipped else rows
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 sample array → RIFF/WAVE PCM16 mono bytes."""
+    assert samples.dtype == np.int16
+    body = samples.astype("<i2").tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(body), b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+        + struct.pack("<4sI", b"data", len(body))
+        + body
+    )
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 bytes → (int16 samples, sample rate). Walks the chunk
+    list (fmt / data) like a real parser."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        pos += 8
+        if cid == b"fmt ":
+            fmt, _ch, rate = struct.unpack_from("<HHI", data, pos)
+            if fmt != 1:
+                raise NotImplementedError(f"only PCM WAV (got format {fmt})")
+        elif cid == b"data":
+            samples = np.frombuffer(data, dtype="<i2", count=size // 2, offset=pos)
+        pos += size + (size & 1)
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return samples.astype(np.int16), rate
+
+
 def decode_media(data: bytes, media_type: str):
-    """Real decode entry point — requires codec libraries not present in this
-    environment. The plumbing around it is exercised via fake_decode."""
+    """Decode entry point: real pure-numpy parsers for the uncompressed
+    formats this environment can handle; compressed codecs raise (no codec
+    libraries in this container — swap in Pillow/ffmpeg where available)."""
+    if media_type == "bmp":
+        return decode_bmp24(data)
+    if media_type == "wav":
+        return decode_wav_pcm16(data)
     raise NotImplementedError(
         f"decoding {media_type!r} requires external codec libraries "
         "(Pillow / ffmpeg / torchaudio); use fake_decode for plumbing tests"
@@ -53,6 +136,114 @@ def fake_decode(data: bytes, media_type: str, feat_dim: int = 8) -> np.ndarray:
     seed = int.from_bytes(digest[:8], "big")
     rng = np.random.default_rng(seed)
     return rng.standard_normal(feat_dim).astype(np.float32)
+
+
+def cycle_bytes(text: str | None, n: int) -> np.ndarray:
+    """utf-8 bytes of `text` cycled/truncated to exactly n bytes (empty →
+    zeros) — the deterministic payload synthesizer for multimodal tests."""
+    b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(n, dtype=np.uint8)
+    return np.resize(b, n)
+
+
+def bmp_payload_udf(w: int, h: int):
+    """pandas UDF: text → uncompressed 24-bit BMP whose pixel bytes are the
+    text's utf-8 bytes cycled to fill w×h×3 — the deterministic image
+    synthesizer for the oracle-checked decode path."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def _bmp(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [encode_bmp24(cycle_bytes(t, w * h * 3).reshape(h, w, 3)) for t in texts]
+        )
+
+    return _bmp
+
+
+def wav_payload_udf(n_samples: int, rate: int = 16000):
+    """pandas UDF: text → PCM16 WAV whose samples are the text's utf-8 bytes
+    cycled to 2·n_samples and viewed as little-endian int16."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def _wav(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode_wav_pcm16(
+                    cycle_bytes(t, 2 * n_samples).view("<i2").astype("int16"), rate
+                )
+                for t in texts
+            ]
+        )
+
+    return _wav
+
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mean_b", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_r", DoubleType()),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mean_amp", DoubleType()),
+        StructField("energy", DoubleType()),
+    ]
+)
+
+
+def image_channel_means(
+    df: DataFrame, media_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas: decode each BMP payload (real parse) → per-channel pixel
+    means (BGR). Means of ≤ 2^16 uint8 values divided by a power-of-two pixel
+    count are exact doubles — oracle-comparable without rounding."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(media_col).alias("media"))
+
+    def _f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, data in zip(pdf["doc_id"], pdf["media"]):
+                img = decode_bmp24(bytes(data))
+                m = img.reshape(-1, 3).astype(np.int64).sum(axis=0) / float(
+                    img.shape[0] * img.shape[1]
+                )
+                out.append((did, m[0], m[1], m[2]))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "mean_b", "mean_g", "mean_r"]
+            )
+
+    return src.mapInPandas(_f, IMAGE_FEATURES_SCHEMA)
+
+
+def audio_stats(
+    df: DataFrame, media_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas: decode each WAV payload (real parse) → mean amplitude and
+    mean energy over the int16 samples (integer sums / power-of-two counts —
+    exact doubles)."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(media_col).alias("media"))
+
+    def _f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, data in zip(pdf["doc_id"], pdf["media"]):
+                samples, _rate = decode_wav_pcm16(bytes(data))
+                s = samples.astype(np.int64)
+                n = max(len(s), 1)
+                out.append((did, s.sum() / float(n), (s * s).sum() / float(n)))
+            yield pd.DataFrame(out, columns=["doc_id", "mean_amp", "energy"])
+
+    return src.mapInPandas(_f, AUDIO_FEATURES_SCHEMA)
 
 
 def extract_media_features(

@@ -422,6 +422,84 @@ FROM documents
 """
 
 
+# --- real decode paths: BMP image channel means, WAV PCM16 audio stats.
+# Payloads are synthesized deterministically from the text bytes (cycled to a
+# fixed size), round-tripped through the real encoders/decoders in Spark, and
+# oracle-checked against DuckDB computing the same statistics directly from
+# the byte values (integer sums / power-of-two counts — exact doubles).
+
+_IMG_W, _IMG_H = 16, 16  # 16*16*3 = 768 payload bytes, stride 48 (no pad)
+_N_SAMPLES = 256  # WAV: 512 payload bytes → 256 int16 samples
+
+
+def q_multimodal_image_features(spark, sf_dir):
+    from .operators.multimodal import bmp_payload_udf, image_channel_means
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = d.select(
+        "doc_id", bmp_payload_udf(_IMG_W, _IMG_H)("text").alias("payload")
+    )
+    return image_channel_means(payloads)
+
+
+def _cycled_code_mean_sql(channel: int, stride: int, count: int) -> str:
+    """SQL: mean over `count` cycled text bytes at positions ≡ channel
+    (mod stride)."""
+    return (
+        f"CASE WHEN n = 0 THEN 0.0 ELSE list_sum(list_transform(range(0, {count}), "
+        f"j -> cs[(({stride}*j+{channel}) % n) + 1])) / {count}.0 END"
+    )
+
+
+_PIX = _IMG_W * _IMG_H
+SQL_MULTIMODAL_IMAGE_FEATURES = f"""
+WITH codes AS (
+  SELECT doc_id,
+    list_transform(regexp_split_to_array(text, ''), c -> unicode(c)) AS cs,
+    length(text) AS n
+  FROM documents
+)
+SELECT doc_id,
+  {_cycled_code_mean_sql(0, 3, _PIX)} AS mean_b,
+  {_cycled_code_mean_sql(1, 3, _PIX)} AS mean_g,
+  {_cycled_code_mean_sql(2, 3, _PIX)} AS mean_r
+FROM codes
+"""
+
+
+def q_multimodal_audio_features(spark, sf_dir):
+    from .operators.multimodal import wav_payload_udf, audio_stats
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = d.select(
+        "doc_id", wav_payload_udf(_N_SAMPLES)("text").alias("payload")
+    )
+    return audio_stats(payloads)
+
+
+SQL_MULTIMODAL_AUDIO_FEATURES = f"""
+WITH codes AS (
+  SELECT doc_id,
+    list_transform(regexp_split_to_array(text, ''), c -> unicode(c)) AS cs,
+    length(text) AS n
+  FROM documents
+), samples AS (
+  SELECT doc_id,
+    CASE WHEN n = 0 THEN list_transform(range(0, {_N_SAMPLES}), j -> 0)
+    ELSE list_transform(range(0, {_N_SAMPLES}), j ->
+      CASE WHEN cs[((2*j) % n) + 1] + 256 * cs[((2*j+1) % n) + 1] >= 32768
+           THEN cs[((2*j) % n) + 1] + 256 * cs[((2*j+1) % n) + 1] - 65536
+           ELSE cs[((2*j) % n) + 1] + 256 * cs[((2*j+1) % n) + 1] END)
+    END AS s
+  FROM codes
+)
+SELECT doc_id,
+  list_sum(s) / {_N_SAMPLES}.0 AS mean_amp,
+  list_sum(list_transform(s, x -> x * x)) / {_N_SAMPLES}.0 AS energy
+FROM samples
+"""
+
+
 # --------------------------------------------------------------------------
 # relational coverage (scans, joins, windows, aggregation, anti join, events)
 # --------------------------------------------------------------------------
@@ -659,6 +737,8 @@ QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "containment_pairs": q_containment_pairs,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_audio_features": q_multimodal_audio_features,
     "tpch_q1_pricing": q_tpch_q1_pricing,
     "segment_revenue_broadcast_join": q_segment_revenue_broadcast_join,
     "top3_orders_per_customer": q_top3_orders_per_customer,
@@ -687,6 +767,8 @@ ORACLE_SQL = {
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_image_features": SQL_MULTIMODAL_IMAGE_FEATURES,
+    "multimodal_audio_features": SQL_MULTIMODAL_AUDIO_FEATURES,
     "tpch_q1_pricing": SQL_TPCH_Q1_PRICING,
     "segment_revenue_broadcast_join": SQL_SEGMENT_REVENUE_BROADCAST_JOIN,
     "top3_orders_per_customer": SQL_TOP3_ORDERS_PER_CUSTOMER,

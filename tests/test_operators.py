@@ -250,3 +250,47 @@ def test_media_feature_plumbing(spark):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")
+
+
+# ---------- multimodal: real BMP/WAV decode ----------------------------------
+
+
+def test_bmp_roundtrip_and_validation():
+    import numpy as np
+    import pytest as _pytest
+    from minhash_spark.operators.multimodal import encode_bmp24, decode_bmp24
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)  # stride padding case
+    assert np.array_equal(decode_bmp24(encode_bmp24(img)), img)
+    with _pytest.raises(ValueError):
+        decode_bmp24(b"PNG not a bmp at all....................................")
+
+
+def test_wav_roundtrip_and_validation():
+    import numpy as np
+    import pytest as _pytest
+    from minhash_spark.operators.multimodal import encode_wav_pcm16, decode_wav_pcm16
+
+    samples = np.array([0, 1, -1, 32767, -32768, 12345], dtype=np.int16)
+    got, rate = decode_wav_pcm16(encode_wav_pcm16(samples, rate=8000))
+    assert rate == 8000 and np.array_equal(got, samples)
+    with _pytest.raises(ValueError):
+        decode_wav_pcm16(b"RIFFxxxxNOPE")
+
+
+def test_decode_media_dispatch():
+    import numpy as np
+    import pytest as _pytest
+    from minhash_spark.operators.multimodal import (
+        decode_media,
+        encode_bmp24,
+        encode_wav_pcm16,
+    )
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert decode_media(encode_bmp24(img), "bmp").shape == (2, 2, 3)
+    s, _ = decode_media(encode_wav_pcm16(np.zeros(4, dtype=np.int16)), "wav")
+    assert len(s) == 4
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "jpeg")
