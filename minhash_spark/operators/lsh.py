@@ -7,7 +7,7 @@ reference's, SURVEY.md §2.3). All JVM-side: slice/transform/posexplode/
 xxhash64 are built-in expressions inside whole-stage codegen; no Python.
 
 Scale/skew design:
-- The candidate join is a self equi-join on (band_id, band_key) — shuffle
+- The candidate join is a self equi-join on band_key — shuffle
   partitioned by the key, AQE skew-split enabled (session.py).
 - Boilerplate pages collapse into mega-buckets ⇒ O(m²) pair blowup. Buckets
   larger than cfg.max_bucket_size are excluded from pair enumeration (their
@@ -43,9 +43,12 @@ def release_persisted() -> None:
 def bands_table(
     sig_df: DataFrame, cfg: DedupConfig, id_col: str = "url", sig_col: str = "minhash"
 ) -> DataFrame:
-    """(id, minhash) → (id, band_id, band_key). band_key is xxhash64 over the
-    band's `rows` signature values plus the band index (so equal slices in
-    different bands never collide into one bucket)."""
+    """(id, minhash) → (id, band_key). band_key is xxhash64 over the band's
+    `rows` signature values plus the band index — the index is folded INTO
+    the key (equal slices in different bands never collide into one bucket),
+    so no separate band_id column travels through the cache/shuffles; at
+    10^12 docs the band table is the biggest intermediate and every column
+    on it is paid 32×/doc."""
     rows = cfg.rows
     band_slices = F.transform(
         F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
@@ -55,7 +58,6 @@ def bands_table(
         sig_df.select(id_col, F.posexplode(band_slices).alias("band_id", "band_sig"))
         .select(
             id_col,
-            "band_id",
             F.xxhash64(F.col("band_id"), F.col("band_sig")).alias("band_key"),
         )
     )
@@ -66,7 +68,7 @@ def bucket_stats(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     Prefer bucket_sizes_stats over the sizes DF that candidate_pairs exposes
     via `sizes_out` — it reuses the cached bucket table instead of re-running
     the banding explode."""
-    return bucket_sizes_stats(bands.groupBy("band_id", "band_key").count(), cfg)
+    return bucket_sizes_stats(bands.groupBy("band_key").count(), cfg)
 
 
 def bucket_sizes_stats(sizes: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -92,7 +94,7 @@ def candidate_pairs(
     tiers, because a hot band key cannot be split by AQE (skew split is
     per-key) and one 12k-doc bucket alone would put 80M pairs in one task:
 
-    - m ≤ max_bucket_size: plain all-pairs self-join on (band_id, band_key).
+    - m ≤ max_bucket_size: plain all-pairs self-join on band_key.
     - max_bucket_size < m ≤ salted_bucket_max: SALTED all-pairs — members get
       a salt in [0, salt_factor); the left side is replicated to every salt
       and joined on (band, key, salt of the right member), so the bucket's
@@ -106,7 +108,7 @@ def candidate_pairs(
     """
     pairs = tiered_bucket_pairs(
         bands,
-        bucket_cols=["band_id", "band_key"],
+        bucket_cols=["band_key"],
         id_col=id_col,
         max_bucket_size=cfg.max_bucket_size,
         salted_bucket_max=cfg.salted_bucket_max,
@@ -146,6 +148,26 @@ def tiered_bucket_pairs(
         (F.col("count") > max_bucket_size) & (F.col("count") <= salted_bucket_max)
     ).select(*bucket_cols)
     big = sizes.filter(F.col("count") > salted_bucket_max).select(*bucket_cols)
+    # Short-circuit the common no-skew case: one tiny aggregate over the
+    # (cached) bucket table tells us whether any oversized bucket exists at
+    # all. When none does — the steady state for a well-banded corpus — the
+    # enumerator is ONE self-join, with no anti-join pruning pass and no
+    # empty salted/star join stages occupying the scheduler. The extra
+    # driver action is a single-row collect off the cache.
+    tier_counts = sizes.agg(
+        F.sum(F.when(F.col("count") > max_bucket_size, 1).otherwise(0)).alias("n_over"),
+        F.sum(F.when(F.col("count") > salted_bucket_max, 1).otherwise(0)).alias("n_big"),
+    ).collect()[0]
+    n_over = tier_counts["n_over"] or 0
+    n_big = tier_counts["n_big"] or 0
+    if n_over == 0:
+        left = b.select(*bucket_cols, F.col("_id").alias("url_a"))
+        right = b.select(*bucket_cols, F.col("_id").alias("url_b"))
+        return (
+            left.join(right, bucket_cols)
+            .where(F.col("url_a") < F.col("url_b"))
+            .select("url_a", "url_b")
+        )
     # small tier = everything NOT hot: broadcast anti-join against the tiny
     # hot-key lists instead of an equi-join against the huge small-key list
     # (the keep-list is ~all buckets — joining it was a full sort-merge of
@@ -159,6 +181,26 @@ def tiered_bucket_pairs(
         .where(F.col("url_a") < F.col("url_b"))
         .select("url_a", "url_b")
     )
+
+    if n_big == 0:
+        # mid-sized hot buckets only: salted tier, no star stage scheduled
+        warm = b.join(F.broadcast(mid), bucket_cols)
+        warm_right = warm.select(
+            *bucket_cols,
+            F.pmod(F.xxhash64("_id"), F.lit(salt_factor)).alias("_salt"),
+            F.col("_id").alias("url_b"),
+        )
+        warm_left = warm.select(
+            *bucket_cols,
+            F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))).alias("_salt"),
+            F.col("_id").alias("url_a"),
+        ).withColumn("_salt", F.col("_salt").cast("long"))
+        salted_pairs = (
+            warm_left.join(warm_right, bucket_cols + ["_salt"])
+            .where(F.col("url_a") < F.col("url_b"))
+            .select("url_a", "url_b")
+        )
+        return all_pairs.unionByName(salted_pairs)
 
     warm = b.join(F.broadcast(mid), bucket_cols)
     warm_right = warm.select(

@@ -127,17 +127,15 @@ def incremental_dedup_batch(
             F.col("batch_id") != epoch_id
         )
         all_sigs = prev_sigs.select("url", "minhash").unionByName(batch_sigs)
-        all_bands = prev_bands.select("url", "band_id", "band_key").unionByName(
-            new_bands
-        )
+        all_bands = prev_bands.select("url", "band_key").unionByName(new_bands)
 
     # candidates restricted to pairs touching the new batch: join new-batch
     # bands against the full band table (left side small → broadcast-able)
     joined = (
-        new_bands.select("band_id", "band_key", F.col("url").alias("url_a"))
+        new_bands.select("band_key", F.col("url").alias("url_a"))
         .join(
-            all_bands.select("band_id", "band_key", F.col("url").alias("url_b")),
-            ["band_id", "band_key"],
+            all_bands.select("band_key", F.col("url").alias("url_b")),
+            ["band_key"],
         )
         .where(F.col("url_a") != F.col("url_b"))
         .select(
