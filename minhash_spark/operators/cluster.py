@@ -50,11 +50,22 @@ def connected_components(
         par = spark.sparkContext.defaultParallelism
         num_partitions = max(min(par, 8), n_edges // 500_000 + 1)
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_broadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
-    sym = sym.repartition(num_partitions, "u").localCheckpoint()
+    # broadcast OFF inside the loop: edges and labels are co-partitioned by
+    # "u" after the first shuffle, so the iteration join needs no exchange at
+    # all — while a broadcast join would rebuild and re-ship a driver-side
+    # hash table of every label EVERY iteration (a serial ~seconds barrier
+    # that dominates the loop on small-to-mid graphs and grows with labels)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # the loop probes neighbors through e.v, so partition the edge table by v
+    # ONCE — labels stay partitioned by u (groupBy output), so the iteration
+    # join and the label update join both line up with zero per-round
+    # exchanges of the edge set
+    sym = sym.repartition(num_partitions, "v").localCheckpoint()
 
     labels = (
-        sym.select("u")
+        sym.select(F.col("u"))
         .distinct()
         .withColumn("label", F.col("u"))
         .localCheckpoint()
@@ -89,6 +100,7 @@ def connected_components(
             break
 
     spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_broadcast)
 
     if not converged:
         # a component with diameter > max_iterations would be silently split;

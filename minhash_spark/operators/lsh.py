@@ -134,95 +134,75 @@ def tiered_bucket_pairs(
 ) -> DataFrame:
     """The shared three-tier pair enumerator over (bucket_cols..., id) rows.
     Emits one row per (bucket, pair) occurrence — callers dedup/count.
-    `sizes_out`, if given, receives the bucket-size DF (reads the cached
-    bucket table — evaluate it AFTER materializing the pairs, and before
-    release_persisted())."""
-    # the bucket table feeds four branches (sizes, pruned, warm, hot) —
-    # persist it once instead of recomputing the upstream explode per branch
-    b = buckets.select(F.col(id_col).alias("_id"), *bucket_cols).persist()
-    _PERSISTED.append(b)
-    sizes = b.groupBy(*bucket_cols).count()
+    `sizes_out`, if given, receives the bucket-size DF (shares the groupBy
+    shuffle — evaluate it after materializing the pairs, before
+    release_persisted()).
+
+    Shape (one wide shuffle, no driver barrier, no broadcast pruning):
+    the bucket rows are grouped ONCE into (bucket, members[]) — the same
+    exchange the old sizes pass paid, now doing double duty — and singleton
+    buckets (the overwhelming majority: most band keys are unique) are
+    dropped BEFORE anything else touches them. Tiers become plain filters on
+    size(members). The small tier re-explodes members and self-joins on the
+    bucket key; both sides inherit the groupBy's hash partitioning, so the
+    join adds NO exchange. The salted tier exchanges only its few hot
+    buckets; the star tier needs no join at all (anchor = array_min)."""
+    grouped = (
+        buckets.select(F.col(id_col).alias("_id"), *bucket_cols)
+        .groupBy(*bucket_cols)
+        .agg(F.collect_list("_id").alias("_members"))
+    )
     if sizes_out is not None:
-        sizes_out.append(sizes)
-    mid = sizes.filter(
-        (F.col("count") > max_bucket_size) & (F.col("count") <= salted_bucket_max)
-    ).select(*bucket_cols)
-    big = sizes.filter(F.col("count") > salted_bucket_max).select(*bucket_cols)
-    # Short-circuit the common no-skew case: one tiny aggregate over the
-    # (cached) bucket table tells us whether any oversized bucket exists at
-    # all. When none does — the steady state for a well-banded corpus — the
-    # enumerator is ONE self-join, with no anti-join pruning pass and no
-    # empty salted/star join stages occupying the scheduler. The extra
-    # driver action is a single-row collect off the cache.
-    tier_counts = sizes.agg(
-        F.sum(F.when(F.col("count") > max_bucket_size, 1).otherwise(0)).alias("n_over"),
-        F.sum(F.when(F.col("count") > salted_bucket_max, 1).otherwise(0)).alias("n_big"),
-    ).collect()[0]
-    n_over = tier_counts["n_over"] or 0
-    n_big = tier_counts["n_big"] or 0
-    if n_over == 0:
-        left = b.select(*bucket_cols, F.col("_id").alias("url_a"))
-        right = b.select(*bucket_cols, F.col("_id").alias("url_b"))
-        return (
-            left.join(right, bucket_cols)
-            .where(F.col("url_a") < F.col("url_b"))
-            .select("url_a", "url_b")
+        sizes_out.append(
+            grouped.select(*bucket_cols, F.size("_members").cast("long").alias("count"))
         )
-    # small tier = everything NOT hot: broadcast anti-join against the tiny
-    # hot-key lists instead of an equi-join against the huge small-key list
-    # (the keep-list is ~all buckets — joining it was a full sort-merge of
-    # the band table against itself-sized keys)
-    not_small = mid.unionByName(big)
-    pruned = b.join(F.broadcast(not_small), bucket_cols, "left_anti")
-    left = pruned.select(*bucket_cols, F.col("_id").alias("url_a"))
-    right = pruned.select(*bucket_cols, F.col("_id").alias("url_b"))
+    multi = (
+        grouped.where(F.size("_members") >= 2)
+        .withColumn("_m", F.size("_members"))
+        .persist()
+    )
+    _PERSISTED.append(multi)
+
+    def _explode(df: DataFrame, out: str) -> DataFrame:
+        return df.select(*bucket_cols, F.explode("_members").alias(out))
+
+    small = multi.where(F.col("_m") <= max_bucket_size)
     all_pairs = (
-        left.join(right, bucket_cols)
+        _explode(small, "url_a")
+        .join(_explode(small, "url_b"), bucket_cols)
         .where(F.col("url_a") < F.col("url_b"))
         .select("url_a", "url_b")
     )
 
-    if n_big == 0:
-        # mid-sized hot buckets only: salted tier, no star stage scheduled
-        warm = b.join(F.broadcast(mid), bucket_cols)
-        warm_right = warm.select(
-            *bucket_cols,
-            F.pmod(F.xxhash64("_id"), F.lit(salt_factor)).alias("_salt"),
-            F.col("_id").alias("url_b"),
-        )
-        warm_left = warm.select(
+    mid = multi.where(
+        (F.col("_m") > max_bucket_size) & (F.col("_m") <= salted_bucket_max)
+    )
+    warm_right = _explode(mid, "url_b").select(
+        *bucket_cols,
+        F.pmod(F.xxhash64("url_b"), F.lit(salt_factor)).alias("_salt"),
+        "url_b",
+    )
+    warm_left = (
+        _explode(mid, "url_a")
+        .select(
             *bucket_cols,
             F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))).alias("_salt"),
-            F.col("_id").alias("url_a"),
-        ).withColumn("_salt", F.col("_salt").cast("long"))
-        salted_pairs = (
-            warm_left.join(warm_right, bucket_cols + ["_salt"])
-            .where(F.col("url_a") < F.col("url_b"))
-            .select("url_a", "url_b")
+            "url_a",
         )
-        return all_pairs.unionByName(salted_pairs)
-
-    warm = b.join(F.broadcast(mid), bucket_cols)
-    warm_right = warm.select(
-        *bucket_cols,
-        F.pmod(F.xxhash64("_id"), F.lit(salt_factor)).alias("_salt"),
-        F.col("_id").alias("url_b"),
+        .withColumn("_salt", F.col("_salt").cast("long"))
     )
-    warm_left = warm.select(
-        *bucket_cols,
-        F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))).alias("_salt"),
-        F.col("_id").alias("url_a"),
-    ).withColumn("_salt", F.col("_salt").cast("long"))
     salted_pairs = (
         warm_left.join(warm_right, bucket_cols + ["_salt"])
         .where(F.col("url_a") < F.col("url_b"))
         .select("url_a", "url_b")
     )
 
-    hot = b.join(F.broadcast(big), bucket_cols)
-    anchors = hot.groupBy(*bucket_cols).agg(F.min("_id").alias("_anchor"))
+    big = multi.where(F.col("_m") > salted_bucket_max)
     star_pairs = (
-        hot.join(F.broadcast(anchors), bucket_cols)
+        big.select(
+            F.array_min("_members").alias("_anchor"),
+            F.explode("_members").alias("_id"),
+        )
         .where(F.col("_id") != F.col("_anchor"))
         .select(
             F.least("_id", "_anchor").alias("url_a"),

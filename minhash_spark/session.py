@@ -46,7 +46,24 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ObjectHashAggregate (collect_list/collect_set) falls back to
+        # sort-based aggregation after 128 in-memory keys BY DEFAULT — the
+        # bucket-grouping aggregate has millions of keys and would pay an
+        # external sort of the whole band table per partition. The keys here
+        # are (long, small array) entries; a few million per task fit
+        # comfortably in executor memory.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
     )
+    # Shuffle/spill scratch on tmpfs when available: this sandbox's /tmp sits
+    # on a single virtio disk that serializes every shuffle regardless of
+    # core count (the banding/candidate stage writes GBs per run). On a real
+    # cluster each executor node brings its own NVMe — local.dir on tmpfs is
+    # the single-box stand-in for storage that scales with the cluster.
+    shm = os.environ.get("SPARK_LOCAL_DIRS") or "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        builder = builder.config(
+            "spark.local.dir", os.path.join(shm, "spark-local")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
