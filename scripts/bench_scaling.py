@@ -86,6 +86,56 @@ print(json.dumps(out))
     return {int(k): v for k, v in json.loads(line).items()}
 
 
+def exchange_control() -> dict[int, float]:
+    """All-to-all exchange throughput via multiprocessing: each worker hash-
+    partitions 16M uint64 into one tmpfs file per peer, then reads and merges
+    every peer's bucket — the honest single-box model of a shuffle (partition
+    write + all-to-all read through the one shared DRAM bus). On a real
+    N → 4N executor cluster each node brings its own DRAM/NIC, so exchange
+    bandwidth grows with N; on one box it is fixed — this control measures
+    that ceiling."""
+    code = r"""
+import json, os, shutil, time
+import numpy as np
+from multiprocessing import Pool, Barrier
+N = 16_000_000
+DIR = "/dev/shm/exch_ctl"
+def phase(args):
+    w, n = args
+    rng = np.random.default_rng(w)
+    v = rng.integers(0, 1 << 63, size=N, dtype=np.uint64)
+    order = np.argsort(v % np.uint64(n), kind="stable")
+    v = v[order]
+    bounds = np.searchsorted(v % np.uint64(n), np.arange(n, dtype=np.uint64))
+    for j in range(n):
+        lo = bounds[j]; hi = bounds[j + 1] if j + 1 < n else N
+        np.save(f"{DIR}/w{w}_b{j}.npy", v[lo:hi])
+    return w
+def gather(args):
+    j, n = args
+    parts = [np.load(f"{DIR}/w{w}_b{j}.npy") for w in range(n)]
+    np.sort(np.concatenate(parts))
+    return j
+out = {}
+for n in (2, 8, 32):
+    best = None
+    for _ in range(3):
+        shutil.rmtree(DIR, ignore_errors=True); os.makedirs(DIR)
+        t0 = time.time()
+        with Pool(n) as p:
+            p.map(phase, [(w, n) for w in range(n)])
+            p.map(gather, [(j, n) for j in range(n)])
+        wall = time.time() - t0
+        best = wall if best is None else min(best, wall)
+    out[n] = round(n * N / best / 1e6, 1)
+shutil.rmtree(DIR, ignore_errors=True)
+print(json.dumps(out))
+"""
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    return {int(k): v for k, v in json.loads(line).items()}
+
+
 def sort_control() -> dict[int, float]:
     """uint64 sort throughput via multiprocessing — the memory-bandwidth-
     bound hardware ceiling (proxy for shuffle-dominated stages)."""
@@ -147,7 +197,12 @@ def main() -> None:
 
     kern = kernel_control()
     srt = sort_control()
-    print(f"kernel control docs/s: {kern}; sort control Melem/s: {srt}", flush=True)
+    exch = exchange_control()
+    print(
+        f"kernel control docs/s: {kern}; sort control Melem/s: {srt}; "
+        f"exchange control Melem/s: {exch}",
+        flush=True,
+    )
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     pair_rows = []
@@ -160,7 +215,7 @@ def main() -> None:
     stage_rows = []
     controls = {
         "signatures": ("kernel", kern),
-        "bands_candidates": ("sort", srt),
+        "bands_candidates": ("exchange", exch),
         "verify": ("kernel", kern),
         "connected_components": ("(barrier-bound)", None),
     }
