@@ -77,6 +77,43 @@ shing AS (
 )"""
 
 
+def _shingles_cte_word(w: int) -> str:
+    """Per-doc distinct word w-shingle FNV hashes: w consecutive tokens of
+    the normalized text joined by 0x1f, hashed over their utf-8 bytes
+    (shingles.word_shingles); fewer tokens than w hash as one whole-doc
+    shingle; empty → empty set."""
+    return f"""
+norm AS ({_norm_cte()}),
+toks AS (
+  SELECT doc_id,
+    CASE WHEN nt = '' THEN []::VARCHAR[] ELSE string_split(nt, ' ') END AS ts
+  FROM norm
+),
+joined AS (
+  SELECT doc_id,
+    CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+         WHEN len(ts) < {w} THEN [array_to_string(ts, chr(31))]
+         ELSE list_transform(range(1, len(ts) - {w - 2}),
+              i -> array_to_string(ts[i:i+{w - 1}], chr(31)))
+    END AS gs
+  FROM toks
+),
+shing AS (
+  SELECT doc_id,
+    list_distinct(list_transform(gs, g -> list_reduce(
+      list_prepend({FNV_OFFSET},
+        list_transform(regexp_split_to_array(g, ''), c -> unicode(c)::HUGEINT)),
+      (h, c) -> (xor(h, c) * {FNV_PRIME}) % {M64}))) AS sh
+  FROM joined
+)"""
+
+
+def _shingle_chunk(cfg: DedupConfig) -> str:
+    if cfg.shingle_mode == "word":
+        return _shingles_cte_word(cfg.shingle_size)
+    return _shingles_cte(cfg.shingle_size)
+
+
 def _cells_chunk(cfg: DedupConfig) -> str:
     """CTE chunk (appended after the shingle CTEs) defining `coeff` and
     `cells` = (doc_id, pos, value): the per-cell sketch minima, exact clone
@@ -148,7 +185,7 @@ def signature_cells_sql(cfg: DedupConfig) -> str:
     """(doc_id, pos, value) — the exploded MinHash signature of every
     document; empty documents yield all-sentinel (SIG_INFTY_LONG) cells."""
     return f"""
-WITH {_shingles_cte(cfg.shingle_size)},
+WITH {_shingle_chunk(cfg)},
 {_cells_chunk(cfg)}
 SELECT d.doc_id, c2.pos::BIGINT AS pos,
        coalesce(cells.value, {SIG_INFTY_LONG}) AS value
@@ -167,7 +204,7 @@ def near_dup_pairs_sql(cfg: DedupConfig, threshold: float) -> str:
     rows, bands = cfg.rows, cfg.bands
     size = cfg.minhash.sketch_size
     return f"""
-WITH {_shingles_cte(cfg.shingle_size)},
+WITH {_shingle_chunk(cfg)},
 {_cells_chunk(cfg)},
 cells_full AS (
   SELECT d.doc_id, c2.pos, coalesce(cells.value, {SIG_INFTY_LONG}) AS value
@@ -195,6 +232,28 @@ JOIN sigl sa ON sa.doc_id = id_a
 JOIN sigl sb ON sb.doc_id = id_b
 WHERE len(list_filter(range(1, {size + 1}), i -> sa.sig[i] = sb.sig[i]))
       / {float(size)} >= {threshold}
+"""
+
+
+def merged_signature_cells_sql(cfg: DedupConfig) -> str:
+    """(id_a, id_b, pos, value) — elementwise-min MERGE of the signatures of
+    consecutive-id document pairs: the reference's `merge`
+    (src/utils/utils.c:36-46). By the merge theorem min-sketch(A ∪ B) =
+    elementwise-min(sketch(A), sketch(B)), so the oracle simply takes
+    least() over the two per-doc cell tables."""
+    return f"""
+WITH {_shingle_chunk(cfg)},
+{_cells_chunk(cfg)},
+cells_full AS (
+  SELECT d.doc_id, c2.pos, coalesce(cells.value, {SIG_INFTY_LONG}) AS value
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN (SELECT pos FROM coeff) c2
+  LEFT JOIN cells ON cells.doc_id = d.doc_id AND cells.pos = c2.pos
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos::BIGINT AS pos,
+       least(a.value, b.value) AS value
+FROM cells_full a
+JOIN cells_full b ON b.doc_id = a.doc_id + 1 AND b.pos = a.pos
 """
 
 

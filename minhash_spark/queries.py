@@ -650,6 +650,83 @@ def q_minhash_signatures_kwise(spark, sf_dir):
 
 SQL_MINHASH_SIGNATURES_KWISE = oracle_sql.signature_cells_sql(CFG_KWISE)
 
+# word-shingle mode end-to-end (the engine's second shingling family)
+CFG_WORD = DedupConfig(
+    minhash=MinHashConfig(sketch_size=128, seed=42),
+    shingle_mode="word",
+    shingle_size=3,
+)
+
+
+def q_minhash_signatures_word(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _exploded_signature(d, CFG_WORD)
+
+
+SQL_MINHASH_SIGNATURES_WORD = oracle_sql.signature_cells_sql(CFG_WORD)
+
+
+def q_minhash_merged_signatures(spark, sf_dir):
+    """The reference's `merge` (elementwise min, src/utils/utils.c:36-46) as
+    a query: merged sketch of each consecutive-id document pair. By the
+    merge theorem this equals the sketch of the union of the two shingle
+    sets — the algebra that makes Spark partial aggregation of sketches
+    correct."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = with_minhash_signature(d, CFG).select("doc_id", "minhash")
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("minhash").alias("_sa"))
+    b = sigs.select(
+        (F.col("doc_id") - 1).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.col("minhash").alias("_sb"),
+    )
+    merged = a.join(b, "id_a").select(
+        "id_a",
+        "id_b",
+        F.posexplode(F.zip_with("_sa", "_sb", lambda x, y: F.least(x, y))).alias(
+            "pos", "value"
+        ),
+    )
+    return merged.withColumn("pos", F.col("pos").cast("long"))
+
+
+SQL_MINHASH_MERGED_SIGNATURES = oracle_sql.merged_signature_cells_sql(CFG)
+
+
+def q_dedup_keep_list(spark, sf_dir):
+    """The exact-dedup keep-list: one surviving doc_id (the minimum) per
+    distinct text over the duplicated corpus — the semi-join short-circuit
+    that runs before fuzzy stages at scale (operators.exact.dedup_exact)."""
+    from .operators.exact import dedup_exact
+
+    u = _docs_union(spark, sf_dir)
+    return dedup_exact(u, id_col="doc_id").select("doc_id")
+
+
+SQL_DEDUP_KEEP_LIST = f"""
+SELECT min(doc_id) AS doc_id FROM {_DOCS_UNION_SQL} u GROUP BY text
+"""
+
+
+def q_quality_filter(spark, sf_dir):
+    """Training-data filter pipeline: keep documents passing the composite
+    quality threshold AND identified as English — the standard pre-dedup
+    cleaning pass, filters composed from the text-analysis operators."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = with_lang_id(with_quality_score(d))
+    return scored.where(
+        (F.col("quality_score") >= 0.5) & (F.col("lang_pred") == "en")
+    ).select("doc_id", "quality_score")
+
+
+SQL_QUALITY_FILTER = f"""
+WITH q AS ({SQL_QUALITY_FEATURES}),
+l AS ({SQL_LANG_ID})
+SELECT q.doc_id, q.quality_score
+FROM q JOIN l ON l.doc_id = q.doc_id
+WHERE q.quality_score >= 0.5 AND l.lang_pred = 'en'
+"""
+
 
 def q_simhash_fingerprints(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -746,6 +823,10 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "minhash_signatures": q_minhash_signatures,
     "minhash_signatures_kwise": q_minhash_signatures_kwise,
+    "minhash_signatures_word": q_minhash_signatures_word,
+    "minhash_merged_signatures": q_minhash_merged_signatures,
+    "dedup_keep_list": q_dedup_keep_list,
+    "quality_filter": q_quality_filter,
     "simhash_fingerprints": q_simhash_fingerprints,
     "doc_fingerprints": q_doc_fingerprints,
     "near_dup_pairs": q_near_dup_pairs,
@@ -776,6 +857,10 @@ ORACLE_SQL = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_signatures_kwise": SQL_MINHASH_SIGNATURES_KWISE,
+    "minhash_signatures_word": SQL_MINHASH_SIGNATURES_WORD,
+    "minhash_merged_signatures": SQL_MINHASH_MERGED_SIGNATURES,
+    "dedup_keep_list": SQL_DEDUP_KEEP_LIST,
+    "quality_filter": SQL_QUALITY_FILTER,
     "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
