@@ -101,7 +101,7 @@ def amplified_docs(spark, sf_dir, amplify: int | None = None):
     )
 
 
-def bench_dedup_minhash(spark, sf_dir) -> tuple[float, int]:
+def bench_dedup_minhash(spark, sf_dir) -> tuple[float, int, float]:
     docs = amplified_docs(spark, sf_dir)
     n_docs = docs.count()  # materialization outside the timed region
     t0 = time.time()
@@ -115,11 +115,24 @@ def bench_dedup_minhash(spark, sf_dir) -> tuple[float, int]:
     clusters = connected_components(verified)
     n_clustered = clusters.count()
     dt = time.time() - t0
+    # dup-pair recall against the corpus ground truth (north rule ≥ 0.99):
+    # every within-mutation clone pair (same base doc, same rep // N_CLONES)
+    # is a true near-dup pair; recall = found / C(N_CLONES, 2) per group
+    group = lambda c: F.struct(
+        F.pmod(c, F.lit(10_000_000)).alias("base"),
+        (c / F.lit(10_000_000 * N_CLONES)).cast("long").alias("mut"),
+    )
+    found = (
+        verified.where(group(F.col("url_a")) == group(F.col("url_b"))).count()
+    )
+    n_groups = n_docs // N_CLONES
+    expected = n_groups * (N_CLONES * (N_CLONES - 1) // 2)
+    recall = found / expected if expected else 1.0
     sigs.unpersist()
     verified.unpersist()
     release_persisted()
     assert n_clustered > 0
-    return dt, n_docs
+    return dt, n_docs, recall
 
 
 def main() -> None:
@@ -138,7 +151,7 @@ def main() -> None:
         release_persisted()
 
     # headline: full dedup pipeline (timed inside, excludes input count)
-    dedup_sec, n_docs = bench_dedup_minhash(spark, sf_dir)
+    dedup_sec, n_docs, recall = bench_dedup_minhash(spark, sf_dir)
     timings["dedup_minhash_e2e"] = round(dedup_sec, 3)
 
     docs = amplified_docs(spark, sf_dir)
@@ -192,6 +205,7 @@ def main() -> None:
                 "sf": sf_dir.rstrip("/").split("/")[-1],
                 "dedup_docs": n_docs,
                 "dedup_docs_per_sec": round(n_docs / dedup_sec, 1),
+                "dup_pair_recall": round(recall, 5),
                 "cpus": cpus,
                 "amplify": AMPLIFY,
             }
