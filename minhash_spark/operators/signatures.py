@@ -8,8 +8,10 @@ Scale notes: the UDF is the only Python in the hot path and is fully
 vectorized numpy inside (no per-row Python arithmetic); hash-function
 coefficients (≤ a few KiB) travel by closure capture to every task —
 the Spark analog of the reference's shared `hash_functions` table. The
-signature is `array<long>` (values < 2^31-1 fit exactly; empty cells use
-2^63-1 so JVM `least()` merges preserve min semantics — config.SIG_INFTY_LONG).
+signature is `array<int>` — every value is < prime_modulus = 2^31-1 so int32
+holds it exactly, halving the signature store/cache/shuffle bytes; empty
+cells use int32 max so JVM `least()` merges preserve min semantics
+(config.SIG_INFTY_INT).
 """
 
 from __future__ import annotations
@@ -18,10 +20,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, IntegerType
 
 from ..config import DedupConfig
-from ..functions.kernels import min_sketch_batch, sketch_to_long
+from ..functions.kernels import min_sketch_batch, sketch_to_int
 from ..functions.shingles import shingle_fn
 
 
@@ -34,11 +36,11 @@ def minhash_signature_udf(cfg: DedupConfig):
     coeffs = mh.coefficients()
     shingler = shingle_fn(cfg.shingle_mode, cfg.shingle_size)
 
-    @pandas_udf(ArrayType(LongType()))
+    @pandas_udf(ArrayType(IntegerType()))
     def _sig(texts: pd.Series) -> pd.Series:
         sets = [shingler(t) for t in texts]
         sketches = min_sketch_batch(sets, mh, coeffs)
-        return pd.Series(list(sketch_to_long(sketches)))
+        return pd.Series(list(sketch_to_int(sketches)))
 
     return _sig
 

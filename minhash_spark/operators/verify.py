@@ -57,19 +57,20 @@ def verify_pairs(
     side is far smaller than the corpus after banding, and AQE picks
     broadcast when it fits."""
     thr = cfg.jaccard_threshold if threshold is None else threshold
-    # pack signatures to int32 for the pair joins: every real cell value is
-    # < prime_modulus = 2^31-1 so it fits; the SIG_INFTY_LONG sentinel maps
-    # explicitly to -1 on both sides (no real value maps there) — positional
-    # equality is preserved while shuffle + Arrow bytes halve. The mapping
-    # must be explicit: Spark 4 runs ANSI mode by default, where a plain
-    # .cast("int") of 2^63-1 raises CAST_OVERFLOW (two empty documents in a
-    # corpus produce all-sentinel signatures that meet in every band).
-    packed = F.transform(
-        F.col(sig_col),
-        lambda x: F.when(x == SIG_INFTY_LONG, F.lit(-1)).otherwise(
-            x.cast("int")
-        ),
-    )
+    # signatures are already int32 (array<int>, SIG_INFTY_INT sentinel) —
+    # half-width shuffle/Arrow rows for the two pair joins come for free.
+    # Callers holding legacy array<long> signatures must map the 2^63-1
+    # sentinel explicitly before casting: Spark 4 defaults to ANSI mode,
+    # where a plain int cast of 2^63-1 raises CAST_OVERFLOW (two empty
+    # documents produce all-sentinel signatures that meet in every band).
+    packed = F.col(sig_col)
+    if dict(sig_df.dtypes)[sig_col] == "array<bigint>":
+        packed = F.transform(
+            F.col(sig_col),
+            lambda x: F.when(x == SIG_INFTY_LONG, F.lit(-1)).otherwise(
+                x.cast("int")
+            ),
+        )
     a = sig_df.select(F.col(id_col).alias("url_a"), packed.alias("_sig_a"))
     b = sig_df.select(F.col(id_col).alias("url_b"), packed.alias("_sig_b"))
     est = estimate_jaccard_udf(cfg.minhash.sketch_size)(

@@ -625,13 +625,26 @@ FROM events GROUP BY 1, 2
 # column-min sketch, SimHash bit sign-sums, polynomial fingerprint, SRP signs
 # --------------------------------------------------------------------------
 
+_SIG_INFTY_INT = (1 << 31) - 1
+_SIG_INFTY_LONG = (1 << 63) - 1
+
+
+def _widen_cell(c):
+    """int32 storage domain → int64 oracle domain (sentinel widened)."""
+    return (
+        F.when(c == _SIG_INFTY_INT, F.lit(_SIG_INFTY_LONG))
+        .otherwise(c.cast("long"))
+        .alias("value")
+    )
+
+
 def _exploded_signature(d: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(doc_id, pos, value) — harness-canonicalizable signature shape (array
     columns can't be hashed by the driver's pandas canonicalizer)."""
     sigs = with_minhash_signature(d, cfg)
     return sigs.select(
         "doc_id", F.posexplode("minhash").alias("pos", "value")
-    ).withColumn("pos", F.col("pos").cast("long"))
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), _widen_cell(F.col("value")))
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -687,7 +700,12 @@ def q_minhash_merged_signatures(spark, sf_dir):
             "pos", "value"
         ),
     )
-    return merged.withColumn("pos", F.col("pos").cast("long"))
+    return merged.select(
+        "id_a",
+        "id_b",
+        F.col("pos").cast("long").alias("pos"),
+        _widen_cell(F.col("value")),
+    )
 
 
 SQL_MINHASH_MERGED_SIGNATURES = oracle_sql.merged_signature_cells_sql(CFG)

@@ -15,7 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from minhash_spark.config import DedupConfig, MinHashConfig
-from minhash_spark.functions.kernels import min_sketch_batch, sketch_to_long
+from minhash_spark.functions.kernels import min_sketch_batch, sketch_to_int
 from minhash_spark.functions.shingles import shingle_fn
 from minhash_spark.pipeline import DedupPipeline
 from minhash_spark.sources.pages import generate_corpus
@@ -37,7 +37,7 @@ def local_sigs(corpus):
     shingler = shingle_fn(CFG.shingle_mode, CFG.shingle_size)
     sets = [shingler(t) for t in pages["text"]]
     sk = min_sketch_batch(sets, CFG.minhash)
-    return dict(zip(pages["url"], sketch_to_long(sk)))
+    return dict(zip(pages["url"], sketch_to_int(sk)))
 
 
 @pytest.fixture(scope="module")
@@ -149,7 +149,7 @@ def test_word_shingle_mode_end_to_end(spark):
     from minhash_spark.operators.signatures import with_minhash_signature
     from minhash_spark.operators.lsh import bands_table, candidate_pairs
     from minhash_spark.operators.verify import verify_pairs
-    from minhash_spark.functions.kernels import min_sketch_batch, sketch_to_long
+    from minhash_spark.functions.kernels import min_sketch_batch, sketch_to_int
     from minhash_spark.functions.shingles import word_shingles
 
     cfg = DedupConfig(shingle_mode="word", shingle_size=3)
@@ -161,7 +161,7 @@ def test_word_shingle_mode_end_to_end(spark):
     )
     sigs = with_minhash_signature(df, cfg).select("url", "minhash")
     rows = {r["url"]: np.array(r["minhash"]) for r in sigs.collect()}
-    want = sketch_to_long(min_sketch_batch([word_shingles(base, 3)], cfg.minhash))[0]
+    want = sketch_to_int(min_sketch_batch([word_shingles(base, 3)], cfg.minhash))[0]
     assert np.array_equal(rows["a"], want)
     got = verify_pairs(
         candidate_pairs(bands_table(sigs, cfg), cfg), sigs, cfg, threshold=0.8

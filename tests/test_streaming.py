@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from minhash_spark.config import DedupConfig
-from minhash_spark.functions.kernels import min_sketch_batch, sketch_to_long
+from minhash_spark.functions.kernels import min_sketch_batch, sketch_to_int
 from minhash_spark.functions.shingles import shingle_fn
 from minhash_spark.sources.pages import generate_corpus
 from minhash_spark.streaming import stream_signatures, incremental_dedup_batch
@@ -40,7 +40,7 @@ def test_stream_signatures_availablenow(spark, tmp_path_factory):
     # streamed signatures == batch kernel signatures (order independence)
     shingler = shingle_fn(CFG.shingle_mode, CFG.shingle_size)
     want = {
-        u: sketch_to_long(min_sketch_batch([shingler(t)], CFG.minhash))[0]
+        u: sketch_to_int(min_sketch_batch([shingler(t)], CFG.minhash))[0]
         for u, t in zip(pages["url"], pages["text"])
     }
     for r in out.collect():
