@@ -120,6 +120,67 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    `n_cells` Voronoi cells around centroid vectors, search only the
+    `n_probe` cells nearest each query. Centroids are the first `n_cells`
+    vectors by id — deterministic and restatable in SQL, standing in for a
+    k-means codebook (swap `cents` for trained centroids in production; the
+    plan is identical). Everything is JVM: the centroid table broadcasts,
+    assignment is a rank-1 window over the broadcast join, the probe join is
+    an equi-join on cell id. Compare cost drops from O(n·q) to
+    O(n·q·n_probe/n_cells) at recall measured against brute_force_topk."""
+    cents = emb.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .join(F.broadcast(cents))
+        .select(
+            "id",
+            "v",
+            "cid",
+            F.round(cosine_col(F.col("v"), F.col("cv")), 6).alias("_ccos"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("_ccos").desc(), F.col("cid").asc())
+    ranked = scored.withColumn("_rn", F.row_number().over(w))
+    cells = ranked.where(F.col("_rn") == 1).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv2"), "cid"
+    )
+    q_ids = queries.select(F.col(id_col).alias("qid"))
+    probes = (
+        ranked.join(F.broadcast(q_ids), F.col("id") == F.col("qid"))
+        .where(F.col("_rn") <= n_probe)
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "cid")
+    )
+    cand = (
+        probes.join(cells, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qv"), F.col("cv2")), 6).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def srp_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
     """Signed-random-projection signature: sign pattern of n_planes
     hyperplane projections packed into one long. Deterministic planes from

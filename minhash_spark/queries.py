@@ -336,6 +336,49 @@ def q_ann_topk_bruteforce(spark, sf_dir):
     )
 
 
+_IVF_CELLS, _IVF_PROBE, _IVF_K, _IVF_NQ = 8, 2, 5, 20
+
+
+def q_ann_topk_ivf(spark, sf_dir):
+    from .operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") < _IVF_NQ)
+    res = ivf_topk(e, q, k=_IVF_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
+    return res.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_COS = "round(list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[]), 6)"
+SQL_ANN_TOPK_IVF = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  ORDER BY vec_id LIMIT {_IVF_CELLS}
+), a AS (
+  SELECT e.vec_id AS id, e.embedding AS v, c.cid,
+    row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {_COS.format(a="e.embedding", b="c.cv")} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN c
+), cells AS (
+  SELECT id AS neighbor_id, v AS cv2, cid FROM a WHERE rn = 1
+), probes AS (
+  SELECT id AS query_id, v AS qv, cid FROM a WHERE id < {_IVF_NQ} AND rn <= {_IVF_PROBE}
+), cand AS (
+  SELECT query_id, neighbor_id,
+    {_COS.format(a="qv", b="cv2")} AS cosine
+  FROM probes JOIN cells USING (cid)
+  WHERE query_id != neighbor_id
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {_IVF_K}
+"""
+
+
 SQL_ANN_TOPK_BRUTEFORCE = """
 WITH s AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -830,6 +873,7 @@ QUERIES = {
     "ngram3_jaccard_consecutive": q_ngram3_jaccard_consecutive,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "containment_pairs": q_containment_pairs,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_image_features": q_multimodal_image_features,
@@ -864,6 +908,7 @@ ORACLE_SQL = {
     "ngram3_jaccard_consecutive": SQL_NGRAM3_JACCARD_CONSECUTIVE,
     "embedding_cosine_pairs": SQL_EMBEDDING_COSINE_PAIRS,
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
+    "ann_topk_ivf": SQL_ANN_TOPK_IVF,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_image_features": SQL_MULTIMODAL_IMAGE_FEATURES,

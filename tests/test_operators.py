@@ -294,3 +294,34 @@ def test_decode_media_dispatch():
     assert len(s) == 4
     with _pytest.raises(NotImplementedError):
         decode_media(b"\xff\xd8\xff", "jpeg")
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF with n_probe=n_cells must EQUAL brute force (it searches every
+    cell); with n_probe < n_cells recall is measured and must stay useful."""
+    import numpy as np
+    from minhash_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    q = emb.where("vec_id < 10")
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(emb, q, k=5, n_cells=4, n_probe=4).collect()
+    }
+    assert exact == want
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=5, n_cells=4, n_probe=2).collect()
+    }
+    want_pairs = {(a, b) for a, b, _ in want}
+    recall = len(got & want_pairs) / len(want_pairs)
+    assert recall >= 0.5, recall
