@@ -147,6 +147,19 @@ def cycle_bytes(text: str | None, n: int) -> np.ndarray:
     return np.resize(b, n)
 
 
+def raw_payload_udf(n_bytes: int):
+    """pandas UDF: text → its utf-8 bytes cycled to n_bytes (an opaque
+    'video' payload for the frame-sampling path)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def _raw(texts: pd.Series) -> pd.Series:
+        return pd.Series([cycle_bytes(t, n_bytes).tobytes() for t in texts])
+
+    return _raw
+
+
 def bmp_payload_udf(w: int, h: int):
     """pandas UDF: text → uncompressed 24-bit BMP whose pixel bytes are the
     text's utf-8 bytes cycled to fill w×h×3 — the deterministic image
@@ -244,6 +257,44 @@ def audio_stats(
             yield pd.DataFrame(out, columns=["doc_id", "mean_amp", "energy"])
 
     return src.mapInPandas(_f, AUDIO_FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def sample_binary_frames(
+    df: DataFrame,
+    media_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_size: int = 256,
+    every: int = 4,
+) -> DataFrame:
+    """Frame sampling over an opaque binary payload (the video-style access
+    pattern: fixed-size frames, keep every k-th): mapInPandas emits
+    (doc_id, frame_idx, frame_sha) for frames 0, every, 2·every, … — payloads
+    stay inside Arrow record batches; only sampled frames are hashed.
+    A real codec would replace the fixed-stride slicing with keyframe
+    offsets; the partitioning/batching shape is identical."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(media_col).alias("media"))
+
+    def _f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, data in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(data) if data is not None else b""
+                n_frames = len(payload) // frame_size
+                for idx in range(0, n_frames, every):
+                    frame = payload[idx * frame_size : (idx + 1) * frame_size]
+                    out.append((did, idx, hashlib.sha256(frame).hexdigest()))
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_sha"])
+
+    return src.mapInPandas(_f, FRAME_SCHEMA)
 
 
 def extract_media_features(

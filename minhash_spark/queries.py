@@ -520,6 +520,40 @@ def q_multimodal_audio_features(spark, sf_dir):
     return audio_stats(payloads)
 
 
+_VID_BYTES, _FRAME_SIZE, _FRAME_EVERY = 4096, 256, 4
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video-style frame sampling: the text bytes cycled into a 4 KiB opaque
+    payload, sliced into 256-byte frames, every 4th frame hashed — the
+    keyframe-extraction access pattern over binary columns."""
+    from .operators.multimodal import raw_payload_udf, sample_binary_frames
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.length("text") > 0)
+    )
+    payloads = d.select("doc_id", raw_payload_udf(_VID_BYTES)("text").alias("payload"))
+    return sample_binary_frames(
+        payloads, frame_size=_FRAME_SIZE, every=_FRAME_EVERY
+    )
+
+
+SQL_MULTIMODAL_FRAME_SAMPLE = f"""
+WITH cyc AS (
+  SELECT doc_id,
+    substr(repeat(text, ({_VID_BYTES} // length(text)) + 1), 1, {_VID_BYTES}) AS p
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, i::BIGINT AS frame_idx,
+  sha256(substr(p, i * {_FRAME_SIZE} + 1, {_FRAME_SIZE})) AS frame_sha
+FROM cyc CROSS JOIN (
+  SELECT unnest(range(0, {_VID_BYTES // _FRAME_SIZE}, {_FRAME_EVERY})) AS i
+)
+"""
+
+
 SQL_MULTIMODAL_AUDIO_FEATURES = f"""
 WITH codes AS (
   SELECT doc_id,
@@ -878,6 +912,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_features": q_multimodal_audio_features,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
     "tpch_q1_pricing": q_tpch_q1_pricing,
     "segment_revenue_broadcast_join": q_segment_revenue_broadcast_join,
     "top3_orders_per_customer": q_top3_orders_per_customer,
@@ -913,6 +948,7 @@ ORACLE_SQL = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_image_features": SQL_MULTIMODAL_IMAGE_FEATURES,
     "multimodal_audio_features": SQL_MULTIMODAL_AUDIO_FEATURES,
+    "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "tpch_q1_pricing": SQL_TPCH_Q1_PRICING,
     "segment_revenue_broadcast_join": SQL_SEGMENT_REVENUE_BROADCAST_JOIN,
     "top3_orders_per_customer": SQL_TOP3_ORDERS_PER_CUSTOMER,
