@@ -130,3 +130,25 @@ def test_verify_pairs_survives_empty_documents(spark):
     verified = verify_pairs(cands, sigs, CFG, threshold=1.0)
     got = {(r["url_a"], r["url_b"]) for r in verified.collect()}
     assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_verify_pairs_accepts_legacy_long_signatures(spark):
+    """Back-compat: an array<long> signature store (pre-int32 layout) flows
+    through the explicit sentinel mapping without ANSI CAST_OVERFLOW."""
+    from minhash_spark.config import SIG_INFTY_LONG
+    from minhash_spark.operators.verify import verify_pairs
+
+    sigs = spark.createDataFrame(
+        [
+            ("a", [SIG_INFTY_LONG] * 32),
+            ("b", [SIG_INFTY_LONG] * 32),
+            ("c", [7] * 32),
+        ],
+        ["url", "minhash"],
+    )
+    pairs = spark.createDataFrame([("a", "b"), ("a", "c")], ["url_a", "url_b"])
+    got = {
+        (r["url_a"], r["url_b"]): r["est_jaccard"]
+        for r in verify_pairs(pairs, sigs, CFG, threshold=0.0).collect()
+    }
+    assert got[("a", "b")] == 1.0 and got[("a", "c")] == 0.0
