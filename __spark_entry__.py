@@ -3,8 +3,10 @@
 ``entry`` runs the flagship dedup query (MinHash signature → LSH banding →
 candidate join → Jaccard verification → connected components) on the sf0.001
 tables. ``queries``/``oracle_sql`` expose every implemented operator from
-SURVEY.md §2 with DuckDB oracles where SQL-expressible (rows-only otherwise:
-sketch values and probabilistic candidate sets have no SQL equivalent).
+SURVEY.md §2 — ALL 33 queries carry full value-level DuckDB oracles: the
+sketch/fingerprint/SRP semantics are re-derived exactly in SQL
+(minhash_spark/oracle_sql.py), so even the "non-SQL-expressible" operators
+are hash-checked, not rows-only.
 """
 
 from __future__ import annotations
