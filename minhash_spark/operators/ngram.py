@@ -39,6 +39,47 @@ def jaccard_col(a: Column, b: Column) -> Column:
     )
 
 
+def containment_col(a: Column, b: Column) -> Column:
+    """Containment coefficient |A∩B| / |A| as double (asymmetric: how much of
+    A's n-gram set lives inside B — the quote/boilerplate-detection measure;
+    empty A → 0.0). Rounded to 6 dp for stable cross-engine hashes."""
+    a_size = F.size(a)
+    inter_size = F.size(F.array_intersect(a, b))
+    return F.round(
+        F.when(a_size == 0, F.lit(0.0)).otherwise(
+            inter_size.cast("double") / a_size.cast("double")
+        ),
+        6,
+    )
+
+
+def ngram_containment_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "url",
+    text_col: str = "text",
+    left: str = "url_a",
+    right: str = "url_b",
+) -> DataFrame:
+    """Attach the n-gram containment coefficient of left-in-right to id
+    pairs → (left, right, containment)."""
+    grams = df.select(
+        F.col(id_col).alias("_gid"), ngrams_col(text_col, n).alias("_grams")
+    )
+    a = grams.select(F.col("_gid").alias(left), F.col("_grams").alias("_ga"))
+    b = grams.select(F.col("_gid").alias(right), F.col("_grams").alias("_gb"))
+    return (
+        pairs.join(a, left)
+        .join(b, right)
+        .select(
+            left,
+            right,
+            containment_col(F.col("_ga"), F.col("_gb")).alias("containment"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     pairs: DataFrame,
     df: DataFrame,

@@ -271,6 +271,92 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
 """
 
+def q_ngram_containment_consecutive(spark, sf_dir):
+    """Asymmetric n-gram containment (|A∩B|/|A|) over consecutive-id pairs —
+    the quote/boilerplate measure the symmetric Jaccard misses."""
+    from .operators.ngram import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = _consecutive_pairs(spark, sf_dir)
+    return ngram_containment_pairs(
+        pairs, docs, n=3, id_col="doc_id", left="id_a", right="id_b"
+    ).select("id_a", "id_b", "containment")
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary statistics: the 100 most frequent lowercased tokens
+    with occurrence counts — the vocab-audit pass of a training-data
+    pipeline (explode → count → top-k by count with deterministic
+    tie-break)."""
+    from .operators.text import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.transform(tokens_col("text"), F.lower)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 100)
+        .select("token", "n", "rank")
+    )
+
+
+SQL_VOCAB_TOPK = r"""
+WITH t AS (
+  SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS token
+  FROM documents WHERE trim(text) != ''
+), c AS (
+  SELECT token, count(*) AS n FROM t GROUP BY token
+), r AS (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank FROM c
+)
+SELECT token, n, rank FROM r WHERE rank <= 100
+"""
+
+
+def q_embedding_normalize(spark, sf_dir):
+    """Unit-normalized embeddings (exploded per dimension for the harness):
+    the standard pre-ANN transform, pure JVM transform/aggregate in double
+    with the same sequential fold order as the SQL oracle."""
+    from .operators.similarity import norm_col, _as_double
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vd = _as_double(F.col("embedding"))
+    unit = F.transform(vd, lambda x: F.round(x / norm_col(vd), 6))
+    return e.select(
+        "vec_id", F.posexplode(unit).alias("dim", "value")
+    ).withColumn("dim", F.col("dim").cast("long"))
+
+
+SQL_EMBEDDING_NORMALIZE = """
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT vec_id, (i - 1)::BIGINT AS dim, round(v[i] / nrm, 6) AS value
+FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+"""
+
+
+SQL_NGRAM_CONTAINMENT_CONSECUTIVE = rf"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN len({_TOKS}) < 3 THEN []::VARCHAR[]
+         ELSE list_distinct(list_transform(
+                generate_series(1, len({_TOKS}) - 2),
+                i -> array_to_string(({_TOKS})[i:i+2], ' '))) END AS g
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CASE WHEN len(a.g) = 0 THEN 0.0::DOUBLE
+       ELSE round(len(list_intersect(a.g, b.g))::DOUBLE / len(a.g), 6) END AS containment
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+
 SQL_NGRAM3_JACCARD_CONSECUTIVE = rf"""
 WITH t AS (
   SELECT doc_id,
@@ -905,6 +991,9 @@ QUERIES = {
     "lang_id": q_lang_id,
     "token_jaccard_consecutive": q_token_jaccard_consecutive,
     "ngram3_jaccard_consecutive": q_ngram3_jaccard_consecutive,
+    "ngram_containment_consecutive": q_ngram_containment_consecutive,
+    "vocab_topk": q_vocab_topk,
+    "embedding_normalize": q_embedding_normalize,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_ivf": q_ann_topk_ivf,
@@ -941,6 +1030,9 @@ ORACLE_SQL = {
     "lang_id": SQL_LANG_ID,
     "token_jaccard_consecutive": SQL_TOKEN_JACCARD_CONSECUTIVE,
     "ngram3_jaccard_consecutive": SQL_NGRAM3_JACCARD_CONSECUTIVE,
+    "ngram_containment_consecutive": SQL_NGRAM_CONTAINMENT_CONSECUTIVE,
+    "vocab_topk": SQL_VOCAB_TOPK,
+    "embedding_normalize": SQL_EMBEDDING_NORMALIZE,
     "embedding_cosine_pairs": SQL_EMBEDDING_COSINE_PAIRS,
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
     "ann_topk_ivf": SQL_ANN_TOPK_IVF,
