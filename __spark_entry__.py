@@ -3,7 +3,8 @@
 ``entry`` runs the flagship dedup query (MinHash signature → LSH banding →
 candidate join → Jaccard verification → connected components) on the sf0.001
 tables. ``queries``/``oracle_sql`` expose every implemented operator from
-SURVEY.md §2 — ALL 33 queries carry full value-level DuckDB oracles: the
+SURVEY.md §2 — every registered query (len(QUERIES) of them; the two dicts
+share the same key set) carries a full value-level DuckDB oracle: the
 sketch/fingerprint/SRP semantics are re-derived exactly in SQL
 (minhash_spark/oracle_sql.py), so even the "non-SQL-expressible" operators
 are hash-checked, not rows-only.

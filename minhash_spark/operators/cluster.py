@@ -51,56 +51,59 @@ def connected_components(
         num_partitions = max(min(par, 8), n_edges // 500_000 + 1)
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     prev_broadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
-    # broadcast OFF inside the loop: edges and labels are co-partitioned by
-    # "u" after the first shuffle, so the iteration join needs no exchange at
-    # all — while a broadcast join would rebuild and re-ship a driver-side
-    # hash table of every label EVERY iteration (a serial ~seconds barrier
-    # that dominates the loop on small-to-mid graphs and grows with labels)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    # the loop probes neighbors through e.v, so partition the edge table by v
-    # ONCE — labels stay partitioned by u (groupBy output), so the iteration
-    # join and the label update join both line up with zero per-round
-    # exchanges of the edge set
-    sym = sym.repartition(num_partitions, "v").localCheckpoint()
-
-    labels = (
-        sym.select(F.col("u"))
-        .distinct()
-        .withColumn("label", F.col("u"))
-        .localCheckpoint()
-    )
-
     converged = False
-    for _ in range(max_iterations):
-        # smallest label visible from each vertex through one hop
-        nbr_min = (
-            sym.alias("e")
-            .join(labels.alias("l"), F.col("e.v") == F.col("l.u"), "inner")
-            .select(F.col("e.u").alias("nu"), F.col("l.label").alias("label"))
-            .groupBy("nu")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.alias("l")
-            .join(nbr_min.alias("n"), F.col("l.u") == F.col("n.nu"), "left")
-            .select(
-                F.col("l.u").alias("u"),
-                F.least(
-                    F.col("l.label"),
-                    F.coalesce(F.col("n.nbr_label"), F.col("l.label")),
-                ).alias("new_label"),
-                F.col("l.label").alias("old_label"),
-            )
-        ).localCheckpoint()
-        changed = new_labels.where(F.col("new_label") < F.col("old_label")).limit(1)
-        labels = new_labels.select("u", F.col("new_label").alias("label"))
-        if changed.count() == 0:
-            converged = True
-            break
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+        # broadcast OFF inside the loop: edges and labels are co-partitioned by
+        # "u" after the first shuffle, so the iteration join needs no exchange at
+        # all — while a broadcast join would rebuild and re-ship a driver-side
+        # hash table of every label EVERY iteration (a serial ~seconds barrier
+        # that dominates the loop on small-to-mid graphs and grows with labels)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # the loop probes neighbors through e.v, so partition the edge table by v
+        # ONCE — labels stay partitioned by u (groupBy output), so the iteration
+        # join and the label update join both line up with zero per-round
+        # exchanges of the edge set
+        sym = sym.repartition(num_partitions, "v").localCheckpoint()
 
-    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_broadcast)
+        labels = (
+            sym.select(F.col("u"))
+            .distinct()
+            .withColumn("label", F.col("u"))
+            .localCheckpoint()
+        )
+
+        for _ in range(max_iterations):
+            # smallest label visible from each vertex through one hop
+            nbr_min = (
+                sym.alias("e")
+                .join(labels.alias("l"), F.col("e.v") == F.col("l.u"), "inner")
+                .select(F.col("e.u").alias("nu"), F.col("l.label").alias("label"))
+                .groupBy("nu")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.alias("l")
+                .join(nbr_min.alias("n"), F.col("l.u") == F.col("n.nu"), "left")
+                .select(
+                    F.col("l.u").alias("u"),
+                    F.least(
+                        F.col("l.label"),
+                        F.coalesce(F.col("n.nbr_label"), F.col("l.label")),
+                    ).alias("new_label"),
+                    F.col("l.label").alias("old_label"),
+                )
+            ).localCheckpoint()
+            changed = new_labels.where(F.col("new_label") < F.col("old_label")).limit(1)
+            labels = new_labels.select("u", F.col("new_label").alias("label"))
+            if changed.count() == 0:
+                converged = True
+                break
+    finally:
+        # a failed job mid-loop must not leave the whole session running with
+        # ~num_partitions shuffle partitions and broadcast joins disabled
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_broadcast)
 
     if not converged:
         # a component with diameter > max_iterations would be silently split;

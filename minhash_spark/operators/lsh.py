@@ -25,17 +25,22 @@ from pyspark.sql import functions as F
 
 from ..config import DedupConfig
 
-# Bucket tables persisted by tiered_bucket_pairs, released via
-# release_persisted(). The persist is load-bearing (four plan branches read
-# the same exploded bucket table within one action), but long-lived sessions
-# (pipeline runs, benches, streaming micro-batches) must not leak one cached
-# table per invocation.
+# Fallback registry for bucket tables persisted by tiered_bucket_pairs when
+# the caller does not collect handles itself (handles_out=None). The persist
+# is load-bearing (four plan branches read the same exploded bucket table
+# within one action), but long-lived sessions (pipeline runs, benches,
+# streaming micro-batches) must not leak one cached table per invocation —
+# callers that materialize the pairs should pass `handles_out` and unpersist
+# the handles they receive; the module registry exists only so one-shot
+# callers are still bounded via release_persisted().
 _PERSISTED: list[DataFrame] = []
 
 
 def release_persisted() -> None:
-    """Unpersist every bucket table cached by tiered_bucket_pairs. Call after
-    the returned pair DataFrame has been materialized (count/write)."""
+    """Unpersist every bucket table registered in the module fallback
+    registry. Call after the returned pair DataFrame has been materialized
+    (count/write). Callers that passed `handles_out` own their handles and
+    are unaffected."""
     while _PERSISTED:
         _PERSISTED.pop().unpersist()
 
@@ -64,11 +69,38 @@ def bands_table(
 
 
 def bucket_stats(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Bucket-size distribution + overflow accounting for the metrics table.
-    Prefer bucket_sizes_stats over the sizes DF that candidate_pairs exposes
-    via `sizes_out` — it reuses the cached bucket table instead of re-running
-    the banding explode."""
+    """Bucket-size distribution + overflow accounting for the metrics table,
+    computed from scratch (one count-aggregation over the band table). When a
+    candidate_pairs run is already in flight, prefer multi_bucket_stats over
+    the persisted handle from `handles_out` — it reads the cache instead of
+    re-running the banding explode + groupBy as a second job."""
     return bucket_sizes_stats(bands.groupBy("band_key").count(), cfg)
+
+
+def multi_bucket_stats(multi: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Skew/overflow accounting from the persisted multi-member bucket table
+    (the `handles_out` handle of tiered_bucket_pairs) — a cache read, not a
+    second banding job. Singleton buckets (size 1 — the overwhelming
+    majority, and irrelevant to skew) are not counted here; the reported
+    n_multi_buckets/max_bucket/capped columns are exactly the skew signals
+    the metrics table needs."""
+    return multi.agg(
+        F.count("*").alias("n_multi_buckets"),
+        F.coalesce(F.max("_m"), F.lit(0)).cast("long").alias("max_bucket"),
+        F.coalesce(
+            F.sum(F.when(F.col("_m") > cfg.max_bucket_size, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_capped_buckets"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_m") > cfg.max_bucket_size, F.col("_m")).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("docs_in_capped_buckets"),
+    )
 
 
 def bucket_sizes_stats(sizes: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -88,7 +120,7 @@ def candidate_pairs(
     bands: DataFrame,
     cfg: DedupConfig,
     id_col: str = "url",
-    sizes_out: list | None = None,
+    handles_out: list | None = None,
 ) -> DataFrame:
     """Distinct candidate (url_a, url_b) with url_a < url_b — three skew
     tiers, because a hot band key cannot be split by AQE (skew split is
@@ -113,7 +145,7 @@ def candidate_pairs(
         max_bucket_size=cfg.max_bucket_size,
         salted_bucket_max=cfg.salted_bucket_max,
         salt_factor=cfg.salt_factor,
-        sizes_out=sizes_out,
+        handles_out=handles_out,
     )
     # dedup across bands with a partial-agg-friendly groupBy; the band-match
     # count doubles as the candidate pre-filter (cfg.min_band_matches)
@@ -130,13 +162,15 @@ def tiered_bucket_pairs(
     max_bucket_size: int,
     salted_bucket_max: int,
     salt_factor: int,
-    sizes_out: list | None = None,
+    handles_out: list | None = None,
 ) -> DataFrame:
     """The shared three-tier pair enumerator over (bucket_cols..., id) rows.
     Emits one row per (bucket, pair) occurrence — callers dedup/count.
-    `sizes_out`, if given, receives the bucket-size DF (shares the groupBy
-    shuffle — evaluate it after materializing the pairs, before
-    release_persisted()).
+    `handles_out`, if given, receives the persisted multi-member bucket table
+    (columns: *bucket_cols, _members array, _m size) — the caller OWNS it:
+    read bucket stats off it after materializing the pairs, then unpersist
+    it. Without handles_out the handle goes to the module fallback registry
+    (release via release_persisted()).
 
     Shape (one wide shuffle, no driver barrier, no broadcast pruning):
     the bucket rows are grouped ONCE into (bucket, members[]) — the same
@@ -152,16 +186,15 @@ def tiered_bucket_pairs(
         .groupBy(*bucket_cols)
         .agg(F.collect_list("_id").alias("_members"))
     )
-    if sizes_out is not None:
-        sizes_out.append(
-            grouped.select(*bucket_cols, F.size("_members").cast("long").alias("count"))
-        )
     multi = (
         grouped.where(F.size("_members") >= 2)
         .withColumn("_m", F.size("_members"))
         .persist()
     )
-    _PERSISTED.append(multi)
+    if handles_out is not None:
+        handles_out.append(multi)
+    else:
+        _PERSISTED.append(multi)
 
     def _explode(df: DataFrame, out: str) -> DataFrame:
         return df.select(*bucket_cols, F.explode("_members").alias(out))

@@ -31,12 +31,7 @@ from pyspark.sql import functions as F
 
 from .config import DedupConfig
 from .operators.signatures import with_minhash_signature
-from .operators.lsh import (
-    bands_table,
-    candidate_pairs,
-    bucket_sizes_stats,
-    release_persisted,
-)
+from .operators.lsh import bands_table, candidate_pairs, multi_bucket_stats
 from .operators.verify import verify_pairs
 from .operators.cluster import connected_components
 from .operators.exact import exact_dup_groups
@@ -124,15 +119,17 @@ class DedupPipeline:
         t0 = time.time()
         sigs = self.spark.read.parquet(signatures_path).select("url", "minhash")
         bands = bands_table(sigs, self.cfg)
-        sizes_out: list = []
-        cands = candidate_pairs(bands, self.cfg, sizes_out=sizes_out)
+        handles: list = []
+        cands = candidate_pairs(bands, self.cfg, handles_out=handles)
         verified = verify_pairs(cands, sigs, self.cfg)
         verified.write.mode("overwrite").parquet(out)
-        # stats AFTER the write: the bucket table is cached by the pair
-        # enumerator and populated during the write, so this groupBy reads
-        # the cache instead of re-running the banding explode as a second job
-        stats = bucket_sizes_stats(sizes_out[0], self.cfg).collect()[0].asDict()
-        release_persisted()
+        # stats AFTER the write, FROM the persisted multi-bucket table the
+        # pair enumerator cached and populated during the write — a cache
+        # read, not a second banding job (singleton buckets are excluded:
+        # only multi-member buckets matter for skew/overflow accounting)
+        stats = multi_bucket_stats(handles[0], self.cfg).collect()[0].asDict()
+        for h in handles:
+            h.unpersist()
         n = self.spark.read.parquet(out).count()
         self._log_metric(
             "pairs", n_verified_pairs=n, seconds=time.time() - t0, **stats

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from .config import DedupConfig, MinHashConfig, HASH_KWISE
 from . import oracle_sql
 from .operators.signatures import with_minhash_signature
-from .operators.lsh import bands_table, candidate_pairs
+from .operators.lsh import bands_table, candidate_pairs, release_persisted
 from .operators.verify import verify_pairs
 from .operators.cluster import connected_components
 from .operators.exact import exact_dup_groups
@@ -86,6 +86,11 @@ GROUP BY sha256(text) HAVING count(*) >= 2
 # --------------------------------------------------------------------------
 
 def _minhash_text_dup_pairs(spark, sf_dir) -> DataFrame:
+    # the pair enumerator persists its bucket table for the duration of the
+    # returned (lazy) plan; a long-lived session running query after query
+    # would otherwise accumulate one cached table per run — release the
+    # previous run's caches on entry, bounding the footprint to one table.
+    release_persisted()
     u = _docs_union(spark, sf_dir)
     sigs = with_minhash_signature(u, CFG).select("doc_id", "minhash")
     bands = bands_table(sigs, CFG, id_col="doc_id")
@@ -287,7 +292,13 @@ def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary statistics: the 100 most frequent lowercased tokens
     with occurrence counts — the vocab-audit pass of a training-data
     pipeline (explode → count → top-k by count with deterministic
-    tie-break)."""
+    tie-break).
+
+    The top-k is `orderBy(...).limit(100)` — Spark compiles it to
+    TakeOrderedAndProject (per-partition heaps, no global sort barrier). An
+    unpartitioned row_number window here would funnel the ENTIRE distinct
+    vocabulary (billions of tokens at web scale) through one task; rank is
+    instead assigned on the ≤100 collected winners driver-side."""
     from .operators.text import tokens_col
 
     d = load_table(spark, sf_dir, "documents")
@@ -296,11 +307,10 @@ def q_vocab_topk(spark, sf_dir):
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 100)
-        .select("token", "n", "rank")
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(100).collect()
+    return spark.createDataFrame(
+        [(r["token"], r["n"], i + 1) for i, r in enumerate(top)],
+        "token string, n bigint, rank bigint",
     )
 
 
@@ -930,6 +940,7 @@ def q_near_dup_pairs(spark, sf_dir):
     the full signature → LSH bands → candidates → verify path at a sub-1.0
     threshold. Oracled end-to-end: the SQL recomputes the signatures and
     band-slice collisions exactly."""
+    release_persisted()  # bound enumerator-cache footprint across query runs
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = with_minhash_signature(d, CFG).select("doc_id", "minhash")
     bands = bands_table(sigs, CFG, id_col="doc_id")
@@ -946,6 +957,7 @@ def q_simhash_candidate_pairs(spark, sf_dir):
     """Pigeonhole banding (n_bands = max_hamming+1 slices) has guaranteed
     recall at the radius, so banding + hamming verify equals the oracle's
     brute-force all-pairs hamming join exactly."""
+    release_persisted()  # bound enumerator-cache footprint across query runs
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     fps = with_simhash(d)
     return simhash_candidates(fps, id_col="doc_id", max_hamming=3).select(
@@ -961,6 +973,7 @@ _SRP_SETS = 2
 
 
 def q_srp_ann_pairs(spark, sf_dir):
+    release_persisted()  # bound enumerator-cache footprint across query runs
     u = _emb_union(spark, sf_dir)
     return srp_cosine_pairs(
         u, threshold=0.5, dim=64, n_planes=_SRP_PLANES, n_sets=_SRP_SETS

@@ -116,7 +116,7 @@ def incremental_dedup_batch(
     new_bands = bands_table(batch_sigs, cfg).persist()
 
     all_sigs = batch_sigs
-    all_bands = new_bands
+    prev_bands = None
     if _has_batches(sig_store):
         # exclude any partial state this same epoch left behind on a failed
         # previous attempt (it is about to be overwritten)
@@ -127,22 +127,38 @@ def incremental_dedup_batch(
             F.col("batch_id") != epoch_id
         )
         all_sigs = prev_sigs.select("url", "minhash").unionByName(batch_sigs)
-        all_bands = prev_bands.select("url", "band_key").unionByName(new_bands)
 
-    # candidates restricted to pairs touching the new batch: join new-batch
-    # bands against the full band table (left side small → broadcast-able)
+    # candidates restricted to pairs touching the new batch, in two legs so
+    # each band collision is counted exactly once (the batch candidate_pairs
+    # semantics): batch-vs-batch enumerates each unordered pair once via
+    # url_a < url_b; batch-vs-store joins the small new-batch band table
+    # against the persisted store (the sides are disjoint — the store
+    # excludes this epoch — so only canonicalization is needed). A single
+    # new-vs-all join would keep BOTH orderings of an intra-batch pair,
+    # doubling its band-match count vs batch-vs-store pairs.
+    batch_a = new_bands.select("band_key", F.col("url").alias("url_a"))
+    collisions = (
+        batch_a.join(
+            new_bands.select("band_key", F.col("url").alias("url_b")), ["band_key"]
+        )
+        .where(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b")
+    )
+    if prev_bands is not None:
+        store_collisions = (
+            batch_a.join(
+                prev_bands.select("band_key", F.col("url").alias("url_b")),
+                ["band_key"],
+            )
+            .where(F.col("url_a") != F.col("url_b"))
+            .select(
+                F.least("url_a", "url_b").alias("url_a"),
+                F.greatest("url_a", "url_b").alias("url_b"),
+            )
+        )
+        collisions = collisions.unionByName(store_collisions)
     joined = (
-        new_bands.select("band_key", F.col("url").alias("url_a"))
-        .join(
-            all_bands.select("band_key", F.col("url").alias("url_b")),
-            ["band_key"],
-        )
-        .where(F.col("url_a") != F.col("url_b"))
-        .select(
-            F.least("url_a", "url_b").alias("url_a"),
-            F.greatest("url_a", "url_b").alias("url_b"),
-        )
-        .groupBy("url_a", "url_b")
+        collisions.groupBy("url_a", "url_b")
         .agg(F.count("*").alias("n_bands"))
         .where(F.col("n_bands") >= cfg.min_band_matches)
         .drop("n_bands")
