@@ -990,6 +990,56 @@ SQL_SRP_ANN_PAIRS = oracle_sql.srp_pairs_sql(
 )
 
 
+def q_incremental_dedup_replay(spark, sf_dir):
+    """Replays the streaming incremental-store build as a batch query so the
+    driver can value-check the streaming path: documents are split into 3
+    deterministic micro-batches (pmod(doc_id, 3)), each batch is deduplicated
+    against the accumulated band/signature store exactly as the foreachBatch
+    body does (streaming/incremental.py), and the union of the per-batch
+    verified pairs is returned. By the sketch mergeability/insertion-order
+    invariant (reference src/utils/utils.c:36-46) this equals the one-shot
+    batch `near_dup_pairs` result, which is the oracle."""
+    import shutil
+    import tempfile
+    from dataclasses import replace as dc_replace
+
+    from .streaming.incremental import incremental_dedup_batch
+
+    cfg = dc_replace(CFG, jaccard_threshold=0.5)
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("url"), "text"
+    )
+    store = tempfile.mkdtemp(prefix="incr_replay_")
+    try:
+        parts = []
+        for b in range(3):
+            batch = d.where(F.pmod(F.col("url"), F.lit(3)) == b)
+            # localCheckpoint materializes each batch's verified pairs BEFORE
+            # the next batch extends the store (the lazy plan reads
+            # "batch_id != b" store partitions, which later batches add to)
+            parts.append(
+                incremental_dedup_batch(
+                    spark, batch, store, cfg, epoch_id=b
+                ).localCheckpoint()
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(
+            F.col("url_a").alias("id_a"),
+            F.col("url_b").alias("id_b"),
+            "est_jaccard",
+        ).distinct()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+# identical expected set: each pair is emitted exactly once, by the batch in
+# which its later member arrives, with the same band-collision counting and
+# the same signature-based est_jaccard as the batch path
+SQL_INCREMENTAL_DEDUP_REPLAY = SQL_NEAR_DUP_PAIRS
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1031,6 +1081,7 @@ QUERIES = {
     "near_dup_pairs": q_near_dup_pairs,
     "simhash_candidate_pairs": q_simhash_candidate_pairs,
     "srp_ann_pairs": q_srp_ann_pairs,
+    "incremental_dedup_replay": q_incremental_dedup_replay,
 }
 
 ORACLE_SQL = {
@@ -1070,4 +1121,5 @@ ORACLE_SQL = {
     "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
     "simhash_candidate_pairs": SQL_SIMHASH_CANDIDATE_PAIRS,
     "srp_ann_pairs": SQL_SRP_ANN_PAIRS,
+    "incremental_dedup_replay": SQL_INCREMENTAL_DEDUP_REPLAY,
 }

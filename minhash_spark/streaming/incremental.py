@@ -83,12 +83,37 @@ def _has_batches(path: str) -> bool:
     )
 
 
+def _bucket_col(col: str, n_buckets: int):
+    """Stable hash bucket for store partitioning. band_key is already an
+    xxhash64 value, so a plain pmod spreads it uniformly; other columns get
+    an xxhash64 first."""
+    c = F.col(col) if col == "band_key" else F.xxhash64(F.col(col))
+    return F.pmod(c, F.lit(n_buckets)).cast("int")
+
+
+def pruned_store_read(
+    spark: SparkSession, store_dir: str, epoch_id: int, touched_buckets: list[int]
+) -> DataFrame:
+    """Read a bucketed store side (`<store>/bands` or `<store>/signatures`)
+    pruned to (a) batches other than `epoch_id` (a failed previous attempt of
+    this same epoch is about to be overwritten) and (b) only the hash buckets
+    in `touched_buckets`. Both are partition columns of the store layout, so
+    the filters prune DIRECTORIES at scan planning — the per-batch read is
+    O(touched fraction of store), not O(corpus). Check with
+    df.inputFiles()."""
+    return spark.read.parquet(store_dir).where(
+        (F.col("batch_id") != epoch_id)
+        & F.col("store_bucket").isin([int(b) for b in touched_buckets])
+    )
+
+
 def incremental_dedup_batch(
     spark: SparkSession,
     batch_df: DataFrame,
     store_path: str,
     cfg: DedupConfig | None = None,
     epoch_id: int = 0,
+    n_store_buckets: int = 64,
 ) -> DataFrame:
     """Dedup one micro-batch against the accumulated signature store:
     signatures + LSH bands for the batch, band join of the new bands against
@@ -101,6 +126,14 @@ def incremental_dedup_batch(
       (`<store>/bands/batch_id=N/`), NOT recomputed from all signatures each
       micro-batch — at corpus scale re-banding the store would make every
       batch O(corpus).
+    - Both store sides are HASH-BUCKETED on write (partition column
+      `store_bucket` = hash pmod n_store_buckets over band_key / url), so the
+      per-batch reads prune to the directories the batch actually touches: a
+      small batch against a huge store reads O(batch-touched buckets), not
+      O(corpus). `n_store_buckets` is a property of the store layout — use
+      the same value for every batch written to one store (size it so
+      batch_docs × bands ≪ corpus_bands / n_store_buckets stays selective;
+      64 suits tests, thousands suit a 10^12-doc store).
     - Store writes are IDEMPOTENT per batch: each batch overwrites its own
       batch_id-keyed partition directory, so a foreachBatch replay (failure
       after the store write but before the sink commit) rewrites the same
@@ -118,15 +151,17 @@ def incremental_dedup_batch(
     all_sigs = batch_sigs
     prev_bands = None
     if _has_batches(sig_store):
-        # exclude any partial state this same epoch left behind on a failed
-        # previous attempt (it is about to be overwritten)
-        prev_sigs = spark.read.parquet(sig_store).where(
-            F.col("batch_id") != epoch_id
+        touched_band_buckets = [
+            r[0]
+            for r in new_bands.select(
+                _bucket_col("band_key", n_store_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        prev_bands = pruned_store_read(
+            spark, band_store, epoch_id, touched_band_buckets
         )
-        prev_bands = spark.read.parquet(band_store).where(
-            F.col("batch_id") != epoch_id
-        )
-        all_sigs = prev_sigs.select("url", "minhash").unionByName(batch_sigs)
 
     # candidates restricted to pairs touching the new batch, in two legs so
     # each band collision is counted exactly once (the batch candidate_pairs
@@ -157,18 +192,47 @@ def incremental_dedup_batch(
             )
         )
         collisions = collisions.unionByName(store_collisions)
+    # materialize the (small) candidate set once: the url-bucket collection
+    # below needs an action anyway, and checkpointing keeps the caller's
+    # later materialization of `verified` from recomputing the collision join
     joined = (
         collisions.groupBy("url_a", "url_b")
         .agg(F.count("*").alias("n_bands"))
         .where(F.col("n_bands") >= cfg.min_band_matches)
         .drop("n_bands")
-    )
+    ).localCheckpoint()
+
+    if prev_bands is not None:
+        # verification only needs the signatures of candidate members — prune
+        # the signature-store scan to the url hash buckets the candidates
+        # touch (same partition-directory pruning as the band side)
+        touched_url_buckets = [
+            r[0]
+            for r in joined.select(
+                F.explode(
+                    F.array(
+                        _bucket_col("url_a", n_store_buckets),
+                        _bucket_col("url_b", n_store_buckets),
+                    )
+                ).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        prev_sigs = pruned_store_read(
+            spark, sig_store, epoch_id, touched_url_buckets
+        )
+        all_sigs = prev_sigs.select("url", "minhash").unionByName(batch_sigs)
     verified = verify_pairs(joined, all_sigs, cfg)
 
-    batch_sigs.write.mode("overwrite").parquet(
+    batch_sigs.withColumn(
+        "store_bucket", _bucket_col("url", n_store_buckets)
+    ).write.mode("overwrite").partitionBy("store_bucket").parquet(
         os.path.join(sig_store, f"batch_id={epoch_id}")
     )
-    new_bands.write.mode("overwrite").parquet(
+    new_bands.withColumn(
+        "store_bucket", _bucket_col("band_key", n_store_buckets)
+    ).write.mode("overwrite").partitionBy("store_bucket").parquet(
         os.path.join(band_store, f"batch_id={epoch_id}")
     )
     batch_sigs.unpersist()

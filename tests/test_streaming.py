@@ -78,6 +78,75 @@ def test_incremental_dedup_matches_batch(spark, tmp_path_factory):
     assert got == want and len(want) > 0
 
 
+def test_incremental_store_read_prunes_buckets(spark, tmp_path_factory):
+    """The hash-bucketed store layout must let a small batch read only the
+    partition directories its band keys touch — the per-batch store scan is
+    O(touched buckets), not O(corpus)."""
+    from minhash_spark.operators.lsh import bands_table
+    from minhash_spark.operators.signatures import with_minhash_signature
+    from minhash_spark.streaming.incremental import (
+        _bucket_col,
+        _store_subdirs,
+        pruned_store_read,
+    )
+
+    n_buckets = 256
+    base = tmp_path_factory.mktemp("prune")
+    store = str(base / "store")
+    pages, _, _ = generate_corpus(300, seed=7)
+    df = spark.createDataFrame(pages).select("url", "text")
+    bulk = df.where(F.crc32("url") % 100 != 0)
+    small = df.where(F.crc32("url") % 100 == 0)
+    assert 0 < small.count() <= 5
+
+    incremental_dedup_batch(
+        spark, bulk, store, CFG, epoch_id=0, n_store_buckets=n_buckets
+    ).count()
+    _, band_store = _store_subdirs(store)
+
+    full = spark.read.parquet(band_store).where(F.col("batch_id") != 1)
+    touched = [
+        r[0]
+        for r in bands_table(
+            with_minhash_signature(small, CFG).select("url", "minhash"), CFG
+        )
+        .select(_bucket_col("band_key", n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    pruned = pruned_store_read(spark, band_store, 1, touched)
+    # the bucket/batch predicates must reach the scan as PARTITION filters
+    # (directory pruning at planning time — inputFiles() can't show this,
+    # it lists the relation's files before filters are applied)
+    from minhash_spark.plans.inspect import plan_report
+
+    pf = " ".join(plan_report(pruned).partition_filters)
+    assert "store_bucket" in pf and "batch_id" in pf
+    # the touched buckets cover only part of the store, so pruning skips rows
+    want = full.where(F.col("store_bucket").isin(touched)).count()
+    assert 0 < want < full.count()
+    assert pruned.count() == want
+
+    # end-to-end: the small batch against the pruned store finds exactly the
+    # batch-path pairs that involve a small-batch document
+    from minhash_spark.operators.lsh import candidate_pairs
+    from minhash_spark.operators.verify import verify_pairs
+
+    got = incremental_dedup_batch(
+        spark, small, store, CFG, epoch_id=1, n_store_buckets=n_buckets
+    )
+    got_pairs = {(r["url_a"], r["url_b"]) for r in got.collect()}
+    small_urls = {r["url"] for r in small.collect()}
+    sigs = with_minhash_signature(df, CFG).select("url", "minhash")
+    ref = verify_pairs(candidate_pairs(bands_table(sigs, CFG), CFG), sigs, CFG)
+    want_pairs = {
+        (r["url_a"], r["url_b"])
+        for r in ref.collect()
+        if r["url_a"] in small_urls or r["url_b"] in small_urls
+    }
+    assert got_pairs == want_pairs
+
+
 def test_stateful_exact_dedup_counts_across_batches(spark, tmp_path_factory):
     """applyInPandasWithState: occurrence numbering must survive micro-batch
     boundaries through the state store — a text first seen in batch 1 is a
