@@ -40,6 +40,40 @@ def pair_metrics(
     }
 
 
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> dict:
+    """ANN quality: fraction of the exact top-k (query, neighbor) edges the
+    approximate result recovers (micro-averaged over all queries), plus the
+    per-query minimum — the standard recall@k report for an IVF/LSH index
+    against the brute-force baseline."""
+    a = approx.select(query_col, neighbor_col).distinct()
+    e = exact.select(query_col, neighbor_col).distinct()
+    per_q = (
+        e.join(a.withColumn("_hit", F.lit(1)), [query_col, neighbor_col], "left")
+        .groupBy(query_col)
+        .agg(
+            F.count("*").alias("n_k"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    stats = per_q.agg(
+        F.sum("n_k").alias("n_exact"),
+        F.sum("n_hit").alias("n_hit"),
+        F.min(F.col("n_hit") / F.col("n_k")).alias("min_r"),
+    ).collect()[0]
+    n_exact, n_hit = stats["n_exact"] or 0, stats["n_hit"] or 0
+    return {
+        "n_exact": n_exact,
+        "n_hit": n_hit,
+        "recall": n_hit / n_exact if n_exact else 1.0,
+        "min_query_recall": float(stats["min_r"]) if n_exact else 1.0,
+    }
+
+
 def cluster_pair_metrics(
     assigned: DataFrame,
     truth_clusters: DataFrame,

@@ -5,7 +5,14 @@ from .cluster import connected_components
 from .exact import exact_dup_groups, dedup_exact
 from .simhash import with_simhash, simhash_candidates
 from .substring import containment_candidates, verify_containment, substring_dedup
-from .similarity import cosine_pairs, brute_force_topk, srp_cosine_pairs
+from .similarity import (
+    cosine_pairs,
+    brute_force_topk,
+    srp_cosine_pairs,
+    ivf_topk,
+    train_ivf_centroids,
+    trained_ivf_topk,
+)
 from .ngram import ngrams_col, jaccard_col, ngram_jaccard_pairs
 from .text import token_count, with_quality_score, with_lang_id, with_fingerprint
 from .multimodal import extract_media_features, decode_media, fake_decode
@@ -28,6 +35,9 @@ __all__ = [
     "cosine_pairs",
     "brute_force_topk",
     "srp_cosine_pairs",
+    "ivf_topk",
+    "train_ivf_centroids",
+    "trained_ivf_topk",
     "ngrams_col",
     "jaccard_col",
     "ngram_jaccard_pairs",

@@ -132,9 +132,9 @@ def ivf_topk(
     """IVF (inverted-file) approximate top-k: partition the corpus into
     `n_cells` Voronoi cells around centroid vectors, search only the
     `n_probe` cells nearest each query. Centroids are the first `n_cells`
-    vectors by id — deterministic and restatable in SQL, standing in for a
-    k-means codebook (swap `cents` for trained centroids in production; the
-    plan is identical). Everything is JVM: the centroid table broadcasts,
+    vectors by id — the UNTRAINED baseline; use trained_ivf_topk for the
+    k-means codebook (same search plan, trained centroids). Everything is
+    JVM: the centroid table broadcasts,
     assignment is a rank-1 window over the broadcast join, the probe join is
     an equi-join on cell id. Compare cost drops from O(n·q) to
     O(n·q·n_probe/n_cells) at recall measured against brute_force_topk."""
@@ -149,6 +149,148 @@ def ivf_topk(
             "v",
             "cid",
             F.round(cosine_col(F.col("v"), F.col("cv")), 6).alias("_ccos"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("_ccos").desc(), F.col("cid").asc())
+    ranked = scored.withColumn("_rn", F.row_number().over(w))
+    cells = ranked.where(F.col("_rn") == 1).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv2"), "cid"
+    )
+    q_ids = queries.select(F.col(id_col).alias("qid"))
+    probes = (
+        ranked.join(F.broadcast(q_ids), F.col("id") == F.col("qid"))
+        .where(F.col("_rn") <= n_probe)
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "cid")
+    )
+    cand = (
+        probes.join(cells, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qv"), F.col("cv2")), 6).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def quantized_col(vec_col: Column, quant: int = 1000) -> Column:
+    """Integer-quantized copy of an embedding (round(x·quant), still
+    double-typed): the k-means TRAINING representation. Quantization makes
+    every per-dimension member sum an exactly-representable integer, so the
+    centroid update is order-independent and bit-identical across engines —
+    the property that lets a SQL oracle replay the training exactly. (The
+    final top-k scoring still uses the original vectors.)"""
+    return F.transform(_as_double(vec_col), lambda x: F.round(x * quant, 0))
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd iterations for the IVF codebook, as DataFrame ops:
+    assign = argmax cosine(x_q, c) (6-dp rounded, cid tie-break) via a
+    broadcast centroid join + rank-1 window; update = per-(cell, dim) sums
+    collected to the driver (n_cells·dim values — the classic Spark k-means
+    shape: partial aggregation on executors, tiny model state on the driver).
+
+    Determinism/oracle contract: vectors are integer-quantized (quantized_col)
+    so member sums are exact integers regardless of aggregation order;
+    centroid components are exact-sum / exact-count double divisions. The
+    whole procedure is therefore replayable bit-for-bit by unrolled SQL
+    (oracle_sql.trained_ivf_topk_sql). Seeds = the n_cells smallest ids'
+    vectors; an emptied cell keeps its previous centroid."""
+    spark = emb.sparkSession
+    e = emb.select(
+        F.col(id_col).alias("id"), quantized_col(F.col(vec_col), quant).alias("xq")
+    )
+    cents = [
+        (r["id"], list(r["xq"]))
+        for r in e.orderBy("id").limit(n_cells).collect()
+    ]
+    dim = len(cents[0][1])
+    for _ in range(n_iters):
+        cdf = spark.createDataFrame(
+            cents, "cid bigint, cv array<double>"
+        )
+        w = Window.partitionBy("id").orderBy(F.col("_c").desc(), F.col("cid").asc())
+        assigned = (
+            e.join(F.broadcast(cdf))
+            .select(
+                "id",
+                "xq",
+                "cid",
+                F.round(cosine_col(F.col("xq"), F.col("cv")), 6).alias("_c"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("xq").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("val").alias("sv"), F.count("*").alias("cnt"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cid"], {})[r["dim"]] = (r["sv"], r["cnt"])
+        cents = [
+            (
+                cid,
+                [by_cell[cid][d][0] / by_cell[cid][d][1] for d in range(dim)]
+                if cid in by_cell
+                else old,
+            )
+            for cid, old in cents
+        ]
+    return cents
+
+
+def trained_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 2,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with a k-means-trained codebook (train_ivf_centroids), same
+    search plan as ivf_topk: broadcast centroids, rank-1 assignment window,
+    cell equi-join probes, per-query top-k window. Cell assignment uses the
+    quantized vectors (the training representation, so the oracle can replay
+    it); final scoring uses the ORIGINAL embeddings."""
+    spark = emb.sparkSession
+    cents = train_ivf_centroids(
+        emb, n_cells=n_cells, n_iters=n_iters, quant=quant,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cdf = F.broadcast(spark.createDataFrame(cents, "cid bigint, cv array<double>"))
+    scored = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            quantized_col(F.col(vec_col), quant).alias("xq"),
+        )
+        .join(cdf)
+        .select(
+            "id",
+            "v",
+            "cid",
+            F.round(cosine_col(F.col("xq"), F.col("cv")), 6).alias("_ccos"),
         )
     )
     w = Window.partitionBy("id").orderBy(F.col("_ccos").desc(), F.col("cid").asc())

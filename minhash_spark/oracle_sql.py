@@ -409,3 +409,93 @@ JOIN u ua ON ua.vec_id = id_a
 JOIN u ub ON ub.vec_id = id_b
 WHERE round(list_cosine_similarity(ua.embedding::DOUBLE[], ub.embedding::DOUBLE[]), 6) >= {threshold}
 """
+
+
+def trained_ivf_topk_sql(
+    n_cells: int,
+    n_probe: int,
+    k: int,
+    nq: int,
+    dim: int = 64,
+    n_iters: int = 2,
+    quant: int = 1000,
+) -> str:
+    """Unrolled SQL replay of the k-means-trained IVF search
+    (operators/similarity.py: train_ivf_centroids + trained_ivf_topk).
+
+    Exactness contract: training runs on integer-quantized vectors
+    (round(x·quant)), so every per-(cell, dim) member sum is an exactly
+    representable integer — order-independent in both engines — and each
+    centroid component is the same exact-sum / exact-count double division.
+    Cell assignment ranks round(cosine, 6) with a cid tie-break; the
+    underlying cosine chain (list_cosine_similarity vs Spark's sequential
+    zip_with fold) is bit-equal, so assignments — and therefore the whole
+    training trajectory — agree exactly. Final scoring uses the original
+    embeddings, same as every other green cosine query."""
+    cos = "round(list_cosine_similarity({a}, {b}), 6)"
+    ctes = [
+        f"""e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[], x -> round(x * {quant})) AS xq
+  FROM embeddings
+)""",
+        f"c0 AS (SELECT vec_id AS cid, xq AS cv FROM e ORDER BY vec_id LIMIT {n_cells})",
+    ]
+    for t in range(n_iters):
+        ctes.append(
+            f"""a{t} AS (
+  SELECT id, xq, cid FROM (
+    SELECT e.vec_id AS id, e.xq, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {cos.format(a="e.xq", b="c.cv")} DESC, c.cid ASC) AS rn
+    FROM e CROSS JOIN c{t} c
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""s{t} AS (
+  SELECT cid, i, sum(xq[i]) AS sv, count(*) AS cnt
+  FROM a{t} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) g
+  GROUP BY cid, i
+)"""
+        )
+        ctes.append(
+            f"""c{t + 1} AS (
+  SELECT c{t}.cid, coalesce(n.cv, c{t}.cv) AS cv
+  FROM c{t} LEFT JOIN (
+    SELECT cid, list(sv / cnt ORDER BY i) AS cv FROM s{t} GROUP BY cid
+  ) n USING (cid)
+)"""
+        )
+    ctes.append(
+        f"""af AS (
+  SELECT e.vec_id AS id, e.v, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY {cos.format(a="e.xq", b="c.cv")} DESC, c.cid ASC) AS rn
+  FROM e CROSS JOIN c{n_iters} c
+)"""
+    )
+    ctes.append("cells AS (SELECT id AS neighbor_id, v AS cv2, cid FROM af WHERE rn = 1)")
+    ctes.append(
+        f"probes AS (SELECT id AS query_id, v AS qv, cid FROM af "
+        f"WHERE id < {nq} AND rn <= {n_probe})"
+    )
+    ctes.append(
+        f"""cand AS (
+  SELECT query_id, neighbor_id, {cos.format(a="qv", b="cv2")} AS cosine
+  FROM probes JOIN cells USING (cid)
+  WHERE query_id != neighbor_id
+)"""
+    )
+    ctes.append(
+        """r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}"
+    )

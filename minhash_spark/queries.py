@@ -432,47 +432,29 @@ def q_ann_topk_bruteforce(spark, sf_dir):
     )
 
 
-_IVF_CELLS, _IVF_PROBE, _IVF_K, _IVF_NQ = 8, 2, 5, 20
+_IVF_CELLS, _IVF_PROBE, _IVF_K, _IVF_NQ, _IVF_ITERS = 8, 2, 5, 20, 2
 
 
 def q_ann_topk_ivf(spark, sf_dir):
-    from .operators.similarity import ivf_topk
+    """IVF top-k with a k-means-TRAINED codebook: deterministic Lloyd
+    iterations over integer-quantized vectors (exact, order-independent
+    centroid sums), then the inverted-file search. The oracle replays the
+    identical training trajectory in unrolled SQL."""
+    from .operators.similarity import trained_ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = e.where(F.col("vec_id") < _IVF_NQ)
-    res = ivf_topk(e, q, k=_IVF_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
+    res = trained_ivf_topk(
+        e, q, k=_IVF_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, n_iters=_IVF_ITERS
+    )
     return res.select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
     )
 
 
-_COS = "round(list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[]), 6)"
-SQL_ANN_TOPK_IVF = f"""
-WITH c AS (
-  SELECT vec_id AS cid, embedding AS cv FROM embeddings
-  ORDER BY vec_id LIMIT {_IVF_CELLS}
-), a AS (
-  SELECT e.vec_id AS id, e.embedding AS v, c.cid,
-    row_number() OVER (
-      PARTITION BY e.vec_id
-      ORDER BY {_COS.format(a="e.embedding", b="c.cv")} DESC, c.cid ASC) AS rn
-  FROM embeddings e CROSS JOIN c
-), cells AS (
-  SELECT id AS neighbor_id, v AS cv2, cid FROM a WHERE rn = 1
-), probes AS (
-  SELECT id AS query_id, v AS qv, cid FROM a WHERE id < {_IVF_NQ} AND rn <= {_IVF_PROBE}
-), cand AS (
-  SELECT query_id, neighbor_id,
-    {_COS.format(a="qv", b="cv2")} AS cosine
-  FROM probes JOIN cells USING (cid)
-  WHERE query_id != neighbor_id
-), r AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM cand
+SQL_ANN_TOPK_IVF = oracle_sql.trained_ivf_topk_sql(
+    n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, k=_IVF_K, nq=_IVF_NQ, n_iters=_IVF_ITERS
 )
-SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {_IVF_K}
-"""
 
 
 SQL_ANN_TOPK_BRUTEFORCE = """
