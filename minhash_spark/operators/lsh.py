@@ -20,7 +20,7 @@ Scale/skew design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import DedupConfig
@@ -79,22 +79,32 @@ def bucket_stats(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 def multi_bucket_stats(multi: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Skew/overflow accounting from the persisted multi-member bucket table
-    (the `handles_out` handle of tiered_bucket_pairs) — a cache read, not a
-    second banding job. Singleton buckets (size 1 — the overwhelming
-    majority, and irrelevant to skew) are not counted here; the reported
-    n_multi_buckets/max_bucket/capped columns are exactly the skew signals
-    the metrics table needs."""
+    (the `handles_out` handle of tiered_bucket_pairs: one row per bucket
+    MEMBER with `_m` size and `_anchor` min-id columns) — a cache read, not a
+    second banding job. Per-bucket rows are deduped via the anchor row (each
+    bucket has exactly one row where _id == _anchor). Singleton buckets
+    (size 1 — the overwhelming majority, and irrelevant to skew) are not in
+    the table; the reported n_multi_buckets/max_bucket/capped columns are
+    exactly the skew signals the metrics table needs."""
+    is_anchor = F.col("_id") == F.col("_anchor")
     return multi.agg(
-        F.count("*").alias("n_multi_buckets"),
+        F.coalesce(F.sum(F.when(is_anchor, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_multi_buckets"),
         F.coalesce(F.max("_m"), F.lit(0)).cast("long").alias("max_bucket"),
         F.coalesce(
-            F.sum(F.when(F.col("_m") > cfg.max_bucket_size, 1).otherwise(0)), F.lit(0)
+            F.sum(
+                F.when(is_anchor & (F.col("_m") > cfg.max_bucket_size), 1).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_capped_buckets"),
         F.coalesce(
             F.sum(
-                F.when(F.col("_m") > cfg.max_bucket_size, F.col("_m")).otherwise(0)
+                F.when(
+                    is_anchor & (F.col("_m") > cfg.max_bucket_size), F.col("_m")
+                ).otherwise(0)
             ),
             F.lit(0),
         )
@@ -167,42 +177,44 @@ def tiered_bucket_pairs(
     """The shared three-tier pair enumerator over (bucket_cols..., id) rows.
     Emits one row per (bucket, pair) occurrence — callers dedup/count.
     `handles_out`, if given, receives the persisted multi-member bucket table
-    (columns: *bucket_cols, _members array, _m size) — the caller OWNS it:
-    read bucket stats off it after materializing the pairs, then unpersist
-    it. Without handles_out the handle goes to the module fallback registry
+    (one row per bucket MEMBER: *bucket_cols, _id, _m bucket size, _anchor
+    bucket min-id) — the caller OWNS it: read bucket stats off it
+    (multi_bucket_stats) after materializing the pairs, then unpersist it.
+    Without handles_out the handle goes to the module fallback registry
     (release via release_persisted()).
 
     Shape (one wide shuffle, no driver barrier, no broadcast pruning):
-    the bucket rows are grouped ONCE into (bucket, members[]) — the same
-    exchange the old sizes pass paid, now doing double duty — and singleton
-    buckets (the overwhelming majority: most band keys are unique) are
-    dropped BEFORE anything else touches them. Tiers become plain filters on
-    size(members). The small tier re-explodes members and self-joins on the
-    bucket key; both sides inherit the groupBy's hash partitioning, so the
-    join adds NO exchange. The salted tier exchanges only its few hot
-    buckets; the star tier needs no join at all (anchor = array_min)."""
-    grouped = (
+    bucket size and anchor are STREAMING WINDOW AGGREGATES (count/min over a
+    bucket-key window) — one exchange + sort, the same volume the old
+    collect_list groupBy paid, but sort-based and spill-safe instead of an
+    ObjectHashAggregate building per-task object maps of member arrays.
+    Measured on this box, the array-building aggregate spent a share of task
+    time in JVM GC that GREW with core count (2% at local[2] → 14% at
+    local[8] → 21% at local[32]) — a concurrency-scaling loss, and at
+    10^12 docs an outright OOM hazard for hot buckets; the window form keeps
+    only one bucket group buffered per task and spills via the external
+    sorter. Singleton buckets (the overwhelming majority: most band keys are
+    unique) are dropped BEFORE the persist. Tiers are plain filters on _m.
+    The small tier self-joins the cached rows on the bucket key; both sides
+    inherit the window's hash partitioning, so the join adds NO exchange.
+    The salted tier exchanges only its few hot buckets; the star tier needs
+    no join at all (anchor = the window min)."""
+    w = Window.partitionBy(*bucket_cols)
+    sized = (
         buckets.select(F.col(id_col).alias("_id"), *bucket_cols)
-        .groupBy(*bucket_cols)
-        .agg(F.collect_list("_id").alias("_members"))
+        .withColumn("_m", F.count("*").over(w))
+        .withColumn("_anchor", F.min("_id").over(w))
     )
-    multi = (
-        grouped.where(F.size("_members") >= 2)
-        .withColumn("_m", F.size("_members"))
-        .persist()
-    )
+    multi = sized.where(F.col("_m") >= 2).persist()
     if handles_out is not None:
         handles_out.append(multi)
     else:
         _PERSISTED.append(multi)
 
-    def _explode(df: DataFrame, out: str) -> DataFrame:
-        return df.select(*bucket_cols, F.explode("_members").alias(out))
-
     small = multi.where(F.col("_m") <= max_bucket_size)
     all_pairs = (
-        _explode(small, "url_a")
-        .join(_explode(small, "url_b"), bucket_cols)
+        small.select(*bucket_cols, F.col("_id").alias("url_a"))
+        .join(small.select(*bucket_cols, F.col("_id").alias("url_b")), bucket_cols)
         .where(F.col("url_a") < F.col("url_b"))
         .select("url_a", "url_b")
     )
@@ -210,20 +222,16 @@ def tiered_bucket_pairs(
     mid = multi.where(
         (F.col("_m") > max_bucket_size) & (F.col("_m") <= salted_bucket_max)
     )
-    warm_right = _explode(mid, "url_b").select(
+    warm_right = mid.select(
         *bucket_cols,
-        F.pmod(F.xxhash64("url_b"), F.lit(salt_factor)).alias("_salt"),
-        "url_b",
+        F.pmod(F.xxhash64("_id"), F.lit(salt_factor)).alias("_salt"),
+        F.col("_id").alias("url_b"),
     )
-    warm_left = (
-        _explode(mid, "url_a")
-        .select(
-            *bucket_cols,
-            F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))).alias("_salt"),
-            "url_a",
-        )
-        .withColumn("_salt", F.col("_salt").cast("long"))
-    )
+    warm_left = mid.select(
+        *bucket_cols,
+        F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))).alias("_salt"),
+        F.col("_id").alias("url_a"),
+    ).withColumn("_salt", F.col("_salt").cast("long"))
     salted_pairs = (
         warm_left.join(warm_right, bucket_cols + ["_salt"])
         .where(F.col("url_a") < F.col("url_b"))
@@ -232,11 +240,7 @@ def tiered_bucket_pairs(
 
     big = multi.where(F.col("_m") > salted_bucket_max)
     star_pairs = (
-        big.select(
-            F.array_min("_members").alias("_anchor"),
-            F.explode("_members").alias("_id"),
-        )
-        .where(F.col("_id") != F.col("_anchor"))
+        big.where(F.col("_id") != F.col("_anchor"))
         .select(
             F.least("_id", "_anchor").alias("url_a"),
             F.greatest("_id", "_anchor").alias("url_b"),

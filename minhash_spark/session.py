@@ -47,11 +47,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # ObjectHashAggregate (collect_list/collect_set) falls back to
-        # sort-based aggregation after 128 in-memory keys BY DEFAULT — the
-        # bucket-grouping aggregate has millions of keys and would pay an
-        # external sort of the whole band table per partition. The keys here
-        # are (long, small array) entries; a few million per task fit
-        # comfortably in executor memory.
+        # sort-based aggregation after 128 in-memory keys BY DEFAULT. The
+        # remaining collect_list consumer (exact.py's capped member lists —
+        # the LSH bucket enumerator is window-based and never builds arrays)
+        # has many keys with small bounded arrays; keeping it hash-based
+        # avoids an external sort per partition.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
     )
     # Shuffle/spill scratch on tmpfs when available: this sandbox's /tmp sits
