@@ -71,8 +71,19 @@ def verify_pairs(
                 x.cast("int")
             ),
         )
-    a = sig_df.select(F.col(id_col).alias("url_a"), packed.alias("_sig_a"))
-    b = sig_df.select(F.col(id_col).alias("url_b"), packed.alias("_sig_b"))
+    # shuffle_hash instead of sort-merge: the joins move the signature
+    # payload (~sketch_size × 4B per row) and a sort-merge join would SORT
+    # those wide rows three times (both inputs of join 1, then the
+    # sig-carrying intermediate for join 2); hashing the signature side
+    # skips every sort — signatures have no exploitable order. The build
+    # side is one sig-table partition per task (bounded by shuffle
+    # parallelism), which is exactly how this join runs on a real cluster.
+    a = sig_df.select(F.col(id_col).alias("url_a"), packed.alias("_sig_a")).hint(
+        "shuffle_hash"
+    )
+    b = sig_df.select(F.col(id_col).alias("url_b"), packed.alias("_sig_b")).hint(
+        "shuffle_hash"
+    )
     est = estimate_jaccard_udf(cfg.minhash.sketch_size)(
         F.col("_sig_a"), F.col("_sig_b")
     )
