@@ -216,7 +216,9 @@ def main() -> None:
     controls = {
         "signatures": ("kernel", kern),
         "bands_candidates": ("exchange", exch),
-        "verify": ("kernel", kern),
+        # verify's cost is the signature-payload shuffle through the two
+        # hash joins (~1.3 GB/run), not the Arrow estimator — exchange-class
+        "verify": ("exchange", exch),
         "connected_components": ("(barrier-bound)", None),
     }
     for s in STAGES:
@@ -276,13 +278,14 @@ is ±40%, minima are the least-interference estimate).
 A single box shares one DRAM bus and one storage device across all local[N]
 threads; a real N → 4N EXECUTOR cluster multiplies memory bandwidth, shuffle
 disks, and NICs along with the cores. The controls bound what each stage
-class can possibly scale to HERE: signature/verify are kernel-class
-(compute over Arrow batches), banding/candidates are exchange-class (two
-wide shuffles — and the exchange control shows all-to-all through one DRAM
-bus collapses at high worker counts), and connected components is bounded by
-its per-iteration convergence barriers (a fixed number of
-driver-synchronized jobs, independent of both cores and corpus; its share of
-the run shrinks as the corpus grows). Stages at or above their control's
+class can possibly scale to HERE: signatures are kernel-class (compute over
+Arrow batches), banding/candidates AND verify are exchange-class (the band
+shuffles and the signature-payload joins — and the exchange control shows
+all-to-all through one DRAM bus collapses at high worker counts), and
+connected components is bounded by its per-iteration convergence barriers
+(a fixed number of driver-synchronized jobs, independent of both cores and
+corpus; its share of the run shrinks as the corpus grows). Stages at or
+above their control's
 efficiency are hardware-bound on this box and would scale with executors on
 a real cluster, where exchange and kernel bandwidth grow with N by
 construction. In-situ evidence (scripts/profile_utilization.py parses the
