@@ -1,14 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched mapInPandas.
 
-Uncompressed container formats are decoded FOR REAL in pure numpy — BMP
-(24-bit uncompressed) and WAV (PCM16) below parse the actual on-disk layout
-(header validation, bottom-up BGR rows, little-endian samples). Compressed
-codecs (JPEG/PNG/MP3/video) are STUBBED behind NotImplementedError — this
-container has no codec libraries — with ``fake_decode`` as the deterministic
-stand-in so the Spark-side plumbing (schema, partitioning, UDF signature,
-batch shape) stays real and tested either way. Swapping in Pillow/torchaudio
-later only replaces the per-batch kernel.
+Decoded FOR REAL in pure numpy: BMP (24-bit uncompressed) and WAV (PCM16)
+parse the actual on-disk layout (header validation, bottom-up BGR rows,
+little-endian samples), and baseline JPEG goes through a full SOF0 bitstream
+decoder (operators/jpeg.py: DQT/DHT/SOF/SOS parse, Huffman, dequantize,
+IDCT, 3-component YCbCr, sampling factors, restart markers). Codecs this
+container genuinely cannot handle (progressive JPEG, PNG, MP3, video) are
+STUBBED behind NotImplementedError — with ``fake_decode`` as the
+deterministic stand-in so the Spark-side plumbing (schema, partitioning,
+UDF signature, batch shape) stays real and tested either way. Swapping in
+Pillow/torchaudio later only replaces the per-batch kernel.
 """
 
 from __future__ import annotations
@@ -116,13 +118,20 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_media(data: bytes, media_type: str):
-    """Decode entry point: real pure-numpy parsers for the uncompressed
-    formats this environment can handle; compressed codecs raise (no codec
-    libraries in this container — swap in Pillow/ffmpeg where available)."""
+    """Decode entry point: real pure-numpy parsers for the formats this
+    environment can handle — uncompressed BMP24/WAV-PCM16 and baseline JPEG
+    (operators/jpeg.py: full SOF0 decoder incl. 3-component YCbCr, sampling
+    factors, restart markers). Progressive JPEG / PNG / MP3 / video still
+    raise (they need external codec libraries — swap in Pillow/ffmpeg where
+    available)."""
     if media_type == "bmp":
         return decode_bmp24(data)
     if media_type == "wav":
         return decode_wav_pcm16(data)
+    if media_type in ("jpeg", "jpg"):
+        from .jpeg import decode_baseline
+
+        return decode_baseline(data)
     raise NotImplementedError(
         f"decoding {media_type!r} requires external codec libraries "
         "(Pillow / ffmpeg / torchaudio); use fake_decode for plumbing tests"
@@ -174,6 +183,77 @@ def bmp_payload_udf(w: int, h: int):
         )
 
     return _bmp
+
+
+def jpeg_payload_udf(w_blocks: int, h_blocks: int):
+    """pandas UDF: text → baseline JPEG of a BLOCK-CONSTANT grayscale image
+    (8×8 block (i,j) filled with the (i·w+j)-th cycled text byte), encoded
+    with an all-ones quantization table. Flat blocks have zero AC energy and
+    an integral DC term, so the decode (operators/jpeg.py) is EXACT — which
+    is what lets a SQL oracle value-check a lossy-format codec path
+    end-to-end: the oracle recomputes the block values straight from the
+    text bytes."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .jpeg import encode_gray_baseline
+
+    ones = np.ones((8, 8), dtype=np.int64)
+
+    @pandas_udf(BinaryType())
+    def _jpg(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            vals = cycle_bytes(t, w_blocks * h_blocks).reshape(h_blocks, w_blocks)
+            img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+            out.append(encode_gray_baseline(img, quant=ones))
+        return pd.Series(out)
+
+    return _jpg
+
+
+JPEG_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mean_px", DoubleType()),
+        StructField("min_px", LongType()),
+        StructField("max_px", LongType()),
+    ]
+)
+
+
+def jpeg_gray_stats(
+    df: DataFrame, media_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas: REAL baseline-JPEG decode (full SOF0 bitstream: Huffman,
+    dequantize, IDCT) → image stats. With power-of-two pixel counts the
+    integer-sum/count divisions are exact doubles — oracle-comparable."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(media_col).alias("media"))
+
+    def _f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, data in zip(pdf["doc_id"], pdf["media"]):
+                img = decode_media(bytes(data), "jpeg")
+                s = img.astype(np.int64)
+                out.append(
+                    (
+                        did,
+                        img.shape[1],
+                        img.shape[0],
+                        s.sum() / float(s.size),
+                        int(s.min()),
+                        int(s.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "mean_px", "min_px", "max_px"],
+            )
+
+    return src.mapInPandas(_f, JPEG_FEATURES_SCHEMA)
 
 
 def wav_payload_udf(n_samples: int, rate: int = 16000):

@@ -605,6 +605,48 @@ FROM codes
 """
 
 
+_JPEG_WB, _JPEG_HB = 4, 4  # 4×4 blocks → 32×32 px, 16 = 2^4 block values
+
+
+def q_multimodal_jpeg_roundtrip(spark, sf_dir):
+    """Compressed-codec path, value-oracled: text bytes → block-constant
+    grayscale image → REAL baseline-JPEG encode (pure-numpy, all-ones quant)
+    → REAL baseline-JPEG decode (full Huffman/IDCT bitstream path in
+    operators/jpeg.py) → image stats. Flat 8×8 blocks round-trip exactly, so
+    the oracle recomputes the stats directly from the cycled text bytes —
+    a lossy format held to a lossless, hash-checked contract."""
+    from .operators.multimodal import jpeg_payload_udf, jpeg_gray_stats
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = d.select(
+        "doc_id", jpeg_payload_udf(_JPEG_WB, _JPEG_HB)("text").alias("payload")
+    )
+    return jpeg_gray_stats(payloads)
+
+
+_JPEG_NV = _JPEG_WB * _JPEG_HB
+SQL_MULTIMODAL_JPEG_ROUNDTRIP = f"""
+WITH codes AS (
+  SELECT doc_id,
+    list_transform(regexp_split_to_array(text, ''), c -> unicode(c)) AS cs,
+    length(text) AS n
+  FROM documents
+), v AS (
+  SELECT doc_id,
+    CASE WHEN n = 0 THEN [0]
+         ELSE list_transform(range(0, {_JPEG_NV}), j -> cs[(j % n) + 1]) END AS vals
+  FROM codes
+)
+SELECT doc_id,
+  {_JPEG_WB * 8}::BIGINT AS width,
+  {_JPEG_HB * 8}::BIGINT AS height,
+  list_sum(vals) / {_JPEG_NV}.0 AS mean_px,
+  list_min(vals)::BIGINT AS min_px,
+  list_max(vals)::BIGINT AS max_px
+FROM v
+"""
+
+
 def q_multimodal_audio_features(spark, sf_dir):
     from .operators.multimodal import wav_payload_udf, audio_stats
 
@@ -1063,6 +1105,7 @@ QUERIES = {
     "containment_pairs": q_containment_pairs,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_jpeg_roundtrip": q_multimodal_jpeg_roundtrip,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -1104,6 +1147,7 @@ ORACLE_SQL = {
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_image_features": SQL_MULTIMODAL_IMAGE_FEATURES,
+    "multimodal_jpeg_roundtrip": SQL_MULTIMODAL_JPEG_ROUNDTRIP,
     "multimodal_audio_features": SQL_MULTIMODAL_AUDIO_FEATURES,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "tpch_q1_pricing": SQL_TPCH_Q1_PRICING,

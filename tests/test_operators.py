@@ -292,8 +292,12 @@ def test_decode_media_dispatch():
     assert decode_media(encode_bmp24(img), "bmp").shape == (2, 2, 3)
     s, _ = decode_media(encode_wav_pcm16(np.zeros(4, dtype=np.int16)), "wav")
     assert len(s) == 4
-    with _pytest.raises(NotImplementedError):
+    # baseline JPEG is a real decoder now — a truncated stream is a parse
+    # error, not a stub; genuinely unimplemented codecs still raise
+    with _pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff", "jpeg")
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\x00", "mp3")
 
 
 def test_ivf_topk_recall_vs_bruteforce(spark):
