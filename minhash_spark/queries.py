@@ -344,6 +344,53 @@ SELECT token, n, rank FROM r WHERE rank <= 100
 """
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization — the first normalization pass of a web-crawl
+    dedup pipeline (collapse scheme/host case, www, default ports,
+    fragments, tracking params before keying by url). The operator
+    (operators/urls.py) is a pure JVM Column expression; the query applies
+    it to deterministic messy URLs synthesized from doc_id/source with the
+    identical expression on both engines."""
+    from .operators.urls import canonicalize_url
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    messy = F.concat(
+        F.lit("HTTPS://WWW.Example-"),
+        F.col("source"),
+        F.lit(".COM:443/Docs/"),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+        F.lit("//item?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_source=feed&utm_campaign=Spring&ref=R"),
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+        F.lit("&fbclid=ABC123#frag"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        messy.alias("url"),
+        canonicalize_url(messy).alias("canonical_url"),
+    )
+
+
+def _url_canonicalize_sql() -> str:
+    from .operators.urls import canonicalize_url_sql
+
+    messy = (
+        "'HTTPS://WWW.Example-' || source || '.COM:443/Docs/' || "
+        "(doc_id % 5)::VARCHAR || '//item?id=' || doc_id::VARCHAR || "
+        "'&utm_source=feed&utm_campaign=Spring&ref=R' || "
+        "(doc_id % 3)::VARCHAR || '&fbclid=ABC123#frag' || (doc_id % 7)::VARCHAR"
+    )
+    return (
+        f"WITH m AS (SELECT doc_id, {messy} AS url FROM documents)\n"
+        f"SELECT doc_id, url, {canonicalize_url_sql('url')} AS canonical_url FROM m"
+    )
+
+
+SQL_URL_CANONICALIZE = _url_canonicalize_sql()
+
+
 def q_embedding_normalize(spark, sf_dir):
     """Unit-normalized embeddings (exploded per dimension for the harness):
     the standard pre-ANN transform, pure JVM transform/aggregate in double
@@ -1098,6 +1145,7 @@ QUERIES = {
     "ngram3_jaccard_consecutive": q_ngram3_jaccard_consecutive,
     "ngram_containment_consecutive": q_ngram_containment_consecutive,
     "vocab_topk": q_vocab_topk,
+    "url_canonicalize": q_url_canonicalize,
     "embedding_normalize": q_embedding_normalize,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
@@ -1140,6 +1188,7 @@ ORACLE_SQL = {
     "ngram3_jaccard_consecutive": SQL_NGRAM3_JACCARD_CONSECUTIVE,
     "ngram_containment_consecutive": SQL_NGRAM_CONTAINMENT_CONSECUTIVE,
     "vocab_topk": SQL_VOCAB_TOPK,
+    "url_canonicalize": SQL_URL_CANONICALIZE,
     "embedding_normalize": SQL_EMBEDDING_NORMALIZE,
     "embedding_cosine_pairs": SQL_EMBEDDING_COSINE_PAIRS,
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,

@@ -329,3 +329,25 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     want_pairs = {(a, b) for a, b, _ in want}
     recall = len(got & want_pairs) / len(want_pairs)
     assert recall >= 0.5, recall
+
+
+def test_canonicalize_url_spec(spark):
+    """The documented canonicalization spec, edge cases included."""
+    from minhash_spark.operators.urls import canonicalize_url
+    import pyspark.sql.functions as F
+
+    cases = {
+        "HTTPS://WWW.ExAmple.COM:443/A/b?x=1&utm_source=s#frag": "https://example.com/A/b?x=1",
+        "http://Example.com:80": "http://example.com/",
+        "http://example.com:8080/p": "http://example.com:8080/p",
+        "https://example.com/?utm_a=1&utm_b=2": "https://example.com/",
+        "https://example.com/p?utm_x=1&keep=2&gclid=z&also=3": "https://example.com/p?keep=2&also=3",
+        "example.com/Path": "example.com/Path",
+        "https://a.com/p//q?fbclid=only": "https://a.com/p//q",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = {
+        r["url"]: r["c"]
+        for r in df.select("url", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    assert got == cases
