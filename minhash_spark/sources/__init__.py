@@ -1,5 +1,6 @@
 from .pages import generate_corpus, write_pages, read_pages
 from .tables import load_table, TESTDATA_TABLES
+from .warc import read_warc, parse_warc, build_warc, html_to_text
 
 __all__ = [
     "generate_corpus",
@@ -7,4 +8,8 @@ __all__ = [
     "read_pages",
     "load_table",
     "TESTDATA_TABLES",
+    "read_warc",
+    "parse_warc",
+    "build_warc",
+    "html_to_text",
 ]

@@ -1,0 +1,87 @@
+"""WARC source: record framing round trip (plain + concatenated-gzip), HTTP
+header stripping, deterministic html→text extraction, and the Spark
+binaryFile → mapInPandas reader emitting the canonical pages schema."""
+
+import datetime as dt
+
+import pytest
+
+from minhash_spark.sources.warc import (
+    build_warc,
+    html_to_text,
+    parse_warc,
+    read_warc,
+)
+
+TS = dt.datetime(2026, 2, 3, 4, 5, 6)
+HTML_A = (
+    b"<html><head><title>T</title><style>p{color:red}</style></head>"
+    b"<body><script>var x=1;</script><p>Hello &amp; <b>world</b>!</p>\n"
+    b"<p>second   line</p></body></html>"
+)
+HTML_B = b"<html><body>&lt;tag&gt; text &#39;quoted&#39;</body></html>"
+
+
+def _archive(compress: bool) -> bytes:
+    return build_warc(
+        [
+            ("https://a.example.com/x", TS, HTML_A),
+            ("https://b.example.com/y", TS.replace(hour=9), HTML_B),
+        ],
+        compress=compress,
+    )
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_parse_roundtrip(compress):
+    recs = parse_warc(_archive(compress))
+    assert [r["url"] for r in recs] == [
+        "https://a.example.com/x",
+        "https://b.example.com/y",
+    ]
+    # HTTP status line + headers stripped, payload byte-identical
+    assert recs[0]["payload"] == HTML_A
+    assert recs[1]["payload"] == HTML_B
+    assert recs[0]["warc_ts"] == TS
+    assert all(r["record_type"] == "response" for r in recs)
+
+
+def test_html_to_text_spec():
+    assert html_to_text(HTML_A) == "Hello & world ! second line"
+    assert html_to_text(HTML_B) == "<tag> text 'quoted'"
+    assert html_to_text(b"") == ""
+    assert html_to_text("no tags  at\nall") == "no tags at all"
+
+
+def test_parse_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_warc(b"NOT A WARC FILE AT ALL................")
+
+
+def test_read_warc_spark(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("warc")
+    (base / "part0.warc").write_bytes(_archive(False))
+    (base / "part1.warc.gz").write_bytes(
+        build_warc([("https://c.example.com/z", TS, HTML_A)], compress=True)
+    )
+
+    df = read_warc(spark, str(base))
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    rows = {r["url"]: r for r in df.collect()}
+    assert set(rows) == {
+        "https://a.example.com/x",
+        "https://b.example.com/y",
+        "https://c.example.com/z",
+    }
+    # html byte-identity per url, deterministic extracted text
+    assert bytes(rows["https://a.example.com/x"]["html"]) == HTML_A
+    assert rows["https://c.example.com/z"]["text"] == "Hello & world ! second line"
+    assert rows["https://a.example.com/x"]["warc_ts"] == TS
+
+    # the read feeds straight into the signature stage (pages contract)
+    from minhash_spark.config import DedupConfig
+    from minhash_spark.operators.signatures import with_minhash_signature
+
+    sigs = with_minhash_signature(df.select("url", "text"), DedupConfig())
+    got = sigs.select("url", "minhash").collect()
+    assert len(got) == 3 and all(len(r["minhash"]) == 128 for r in got)
