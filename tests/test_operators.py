@@ -351,3 +351,25 @@ def test_canonicalize_url_spec(spark):
         for r in df.select("url", canonicalize_url(F.col("url")).alias("c")).collect()
     }
     assert got == cases
+
+
+def test_canonicalize_url_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) — the canonical form
+    is a fixpoint (prerequisite for using it as a join/dedup key)."""
+    from minhash_spark.operators.urls import canonicalize_url
+    import pyspark.sql.functions as F
+
+    urls = [
+        "HTTPS://WWW.ExAmple.COM:443/A/b?x=1&utm_source=s#frag",
+        "http://Example.com:80",
+        "http://example.com:8080/p?a=1&b=2",
+        "https://example.com/?utm_a=1&utm_b=2",
+        "example.com/Path?gclid=1",
+        "https://a.com/p//q?fbclid=only&z=9",
+        "ftp://Files.Example.org:21/pub/x",
+    ] + [f"https://WWW.h{i}.COM/p{i}?utm_x={i}&k={i}#f{i}" for i in range(30)]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select(canonicalize_url(F.col("url")).alias("c1"))
+    twice = once.select("c1", canonicalize_url(F.col("c1")).alias("c2"))
+    bad = twice.where(F.col("c1") != F.col("c2")).collect()
+    assert bad == [], bad
