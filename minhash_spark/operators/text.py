@@ -157,3 +157,57 @@ def fingerprint_udf():
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fingerprint_udf()(F.col(text_col)))
+
+
+def passage_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 10,
+) -> DataFrame:
+    """Duplicated-passage fraction per document — the RefinedWeb/Gopher-class
+    repetition signal a training-data pipeline filters on: chunk each
+    document's token stream into consecutive `window`-token passages and
+    count how many of a document's passages also occur in at least one OTHER
+    document. Returns (doc_id, n_passages, n_dup_passages, dup_ratio);
+    documents shorter than one window produce no row.
+
+    All JVM (split/slice/explode + two hash aggregations): the passage table
+    shuffles once for the global distinct-doc count and once for the per-doc
+    rollup — both partial-aggregated. Passages are keyed by their exact
+    string here so the DuckDB oracle can replay the query; at 10^12-doc
+    scale key by xxhash64(passage) instead (64-bit collisions are noise for
+    a quality signal and the shuffle rows shrink ~window×)."""
+    toks = tokens_col(text_col)
+    src = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks")).where(
+        F.size("_toks") >= window
+    )
+    n_chunks = (F.size("_toks") / window).cast("int")
+    passages = src.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice("_toks", i * window + 1, window), " "
+                ),
+            )
+        ).alias("passage"),
+    )
+    global_counts = passages.groupBy("passage").agg(
+        F.countDistinct("doc_id").alias("_nd")
+    )
+    return (
+        passages.join(global_counts, "passage")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_passages"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_passages") / F.col("n_passages"), 6),
+        )
+    )

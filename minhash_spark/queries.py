@@ -344,6 +344,54 @@ SELECT token, n, rank FROM r WHERE rank <= 100
 """
 
 
+_PD_SHIFT = 30_000_000  # id offset for the half-duplicated passage corpus
+_PD_WINDOW = 10
+
+
+def q_passage_dup_stats(spark, sf_dir):
+    """Duplicated-passage fraction (RefinedWeb/Gopher repetition signal)
+    over a corpus where every even-id document also appears under a shifted
+    id — duplicated docs must report dup_ratio 1.0, unique docs 0.0, and the
+    oracle re-derives the exact passage multiset in SQL."""
+    from .operators.text import passage_dup_stats
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionAll(
+        d.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select(
+            (F.col("doc_id") + _PD_SHIFT).alias("doc_id"), "text"
+        )
+    )
+    return passage_dup_stats(u, window=_PD_WINDOW)
+
+
+SQL_PASSAGE_DUP_STATS = rf"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PD_SHIFT} AS doc_id, text FROM documents WHERE doc_id % 2 = 0
+), t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM u WHERE trim(text) != ''
+), f AS (
+  SELECT doc_id, toks FROM t WHERE len(toks) >= {_PD_WINDOW}
+), p AS (
+  SELECT doc_id, unnest(range(0, len(toks) // {_PD_WINDOW})) AS i, toks FROM f
+), pp AS (
+  SELECT doc_id,
+    array_to_string(toks[(i*{_PD_WINDOW}+1):(i*{_PD_WINDOW}+{_PD_WINDOW})], ' ') AS passage
+  FROM p
+), g AS (
+  SELECT passage, count(DISTINCT doc_id) AS nd FROM pp GROUP BY passage
+)
+SELECT pp.doc_id AS doc_id,
+  count(*) AS n_passages,
+  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_passages,
+  round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_ratio
+FROM pp JOIN g USING (passage)
+GROUP BY pp.doc_id
+"""
+
+
 def q_url_canonicalize(spark, sf_dir):
     """URL canonicalization — the first normalization pass of a web-crawl
     dedup pipeline (collapse scheme/host case, www, default ports,
@@ -1146,6 +1194,7 @@ QUERIES = {
     "ngram_containment_consecutive": q_ngram_containment_consecutive,
     "vocab_topk": q_vocab_topk,
     "url_canonicalize": q_url_canonicalize,
+    "passage_dup_stats": q_passage_dup_stats,
     "embedding_normalize": q_embedding_normalize,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
@@ -1189,6 +1238,7 @@ ORACLE_SQL = {
     "ngram_containment_consecutive": SQL_NGRAM_CONTAINMENT_CONSECUTIVE,
     "vocab_topk": SQL_VOCAB_TOPK,
     "url_canonicalize": SQL_URL_CANONICALIZE,
+    "passage_dup_stats": SQL_PASSAGE_DUP_STATS,
     "embedding_normalize": SQL_EMBEDDING_NORMALIZE,
     "embedding_cosine_pairs": SQL_EMBEDDING_COSINE_PAIRS,
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,

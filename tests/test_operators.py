@@ -373,3 +373,24 @@ def test_canonicalize_url_idempotent(spark):
     twice = once.select("c1", canonicalize_url(F.col("c1")).alias("c2"))
     bad = twice.where(F.col("c1") != F.col("c2")).collect()
     assert bad == [], bad
+
+
+def test_passage_dup_stats_semantics(spark):
+    """Known corpus: doc A and B share A's full token stream; C is unique;
+    D is too short for one window."""
+    from minhash_spark.operators.text import passage_dup_stats
+
+    a = " ".join(f"t{i}" for i in range(20))            # 2 passages
+    b = a + " " + " ".join(f"x{i}" for i in range(10))  # A's 2 + 1 unique
+    c = " ".join(f"c{i}" for i in range(15))            # 1 passage, unique
+    d = "too short"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in passage_dup_stats(df, window=10).collect()}
+    assert set(got) == {1, 2, 3}  # D yields no row
+    assert (got[1]["n_passages"], got[1]["n_dup_passages"]) == (2, 2)
+    assert got[1]["dup_ratio"] == 1.0
+    assert (got[2]["n_passages"], got[2]["n_dup_passages"]) == (3, 2)
+    assert got[2]["dup_ratio"] == round(2 / 3, 6)
+    assert (got[3]["n_passages"], got[3]["n_dup_passages"]) == (1, 0)
