@@ -83,6 +83,32 @@ def _has_batches(path: str) -> bool:
     )
 
 
+def _effective_store_buckets(store_path: str, requested: int) -> int:
+    """The store's bucket count is a property of its on-disk LAYOUT: every
+    batch must hash with the same modulus or later reads would prune to the
+    wrong directories and silently MISS candidates. The first batch writes
+    `_store_meta.json`; afterwards the persisted value wins over the
+    argument (a mismatch is logged, not fatal — the store knows best)."""
+    import json
+    import logging
+
+    os.makedirs(store_path, exist_ok=True)
+    meta_path = os.path.join(store_path, "_store_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            stored = int(json.load(f)["n_store_buckets"])
+        if stored != requested:
+            logging.getLogger(__name__).warning(
+                "incremental store %s was created with n_store_buckets=%d; "
+                "ignoring requested %d (the layout is fixed at creation)",
+                store_path, stored, requested,
+            )
+        return stored
+    with open(meta_path, "w") as f:
+        json.dump({"n_store_buckets": requested}, f)
+    return requested
+
+
 def _bucket_col(col: str, n_buckets: int):
     """Stable hash bucket for store partitioning. band_key is already an
     xxhash64 value, so a plain pmod spreads it uniformly; other columns get
@@ -142,6 +168,7 @@ def incremental_dedup_batch(
       the store write is a side effect outside the sink transaction.
     """
     cfg = cfg or DedupConfig()
+    n_store_buckets = _effective_store_buckets(store_path, n_store_buckets)
     sig_store, band_store = _store_subdirs(store_path)
     batch_sigs = with_minhash_signature(
         batch_df.select("url", "text"), cfg

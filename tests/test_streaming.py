@@ -132,8 +132,11 @@ def test_incremental_store_read_prunes_buckets(spark, tmp_path_factory):
     from minhash_spark.operators.lsh import candidate_pairs
     from minhash_spark.operators.verify import verify_pairs
 
+    # the store layout pins its bucket count: a later batch passing a
+    # DIFFERENT n_store_buckets must still hash with the store's modulus
+    # (a silent mismatch would prune to wrong directories and drop pairs)
     got = incremental_dedup_batch(
-        spark, small, store, CFG, epoch_id=1, n_store_buckets=n_buckets
+        spark, small, store, CFG, epoch_id=1, n_store_buckets=7
     )
     got_pairs = {(r["url_a"], r["url_b"]) for r in got.collect()}
     small_urls = {r["url"] for r in small.collect()}
