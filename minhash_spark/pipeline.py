@@ -57,10 +57,23 @@ class PipelineResult:
 
 
 class DedupPipeline:
-    def __init__(self, spark: SparkSession, cfg: DedupConfig, out_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: DedupConfig,
+        out_dir: str,
+        cc_variant: str = "minlabel",
+    ):
+        """cc_variant: "minlabel" (default — O(diameter) rounds, cheapest on
+        the near-clique graphs LSH produces) or "twostar" (large-star/
+        small-star, O(log n) rounds — pick for edge sets that may contain
+        long chains, e.g. heavy containment-dedup output)."""
+        if cc_variant not in ("minlabel", "twostar"):
+            raise ValueError(f"unknown cc_variant {cc_variant!r}")
         self.spark = spark
         self.cfg = cfg
         self.out_dir = out_dir
+        self.cc_variant = cc_variant
         self.metrics_dir = os.path.join(out_dir, "metrics")
         os.makedirs(self.metrics_dir, exist_ok=True)
 
@@ -142,10 +155,20 @@ class DedupPipeline:
             return out
         t0 = time.time()
         edges = self.spark.read.parquet(pairs_path)
-        clusters = connected_components(edges)
+        if self.cc_variant == "twostar":
+            from .operators.cluster_twostar import connected_components_twostar
+
+            clusters = connected_components_twostar(edges)
+        else:
+            clusters = connected_components(edges)
         clusters.write.mode("overwrite").parquet(out)
         n = self.spark.read.parquet(out).count()
-        self._log_metric("clusters", n_clustered_docs=n, seconds=time.time() - t0)
+        self._log_metric(
+            "clusters",
+            n_clustered_docs=n,
+            cc_variant=self.cc_variant,
+            seconds=time.time() - t0,
+        )
         return out
 
     def run(self, pages: DataFrame, resume: bool = True) -> PipelineResult:
@@ -167,6 +190,8 @@ class DedupPipeline:
 
 def run_dedup(
     spark: SparkSession, pages: DataFrame, out_dir: str, cfg: DedupConfig | None = None,
-    resume: bool = True,
+    resume: bool = True, cc_variant: str = "minlabel",
 ) -> PipelineResult:
-    return DedupPipeline(spark, cfg or DedupConfig(), out_dir).run(pages, resume=resume)
+    return DedupPipeline(
+        spark, cfg or DedupConfig(), out_dir, cc_variant=cc_variant
+    ).run(pages, resume=resume)
