@@ -344,6 +344,53 @@ SELECT token, n, rank FROM r WHERE rank <= 100
 """
 
 
+def q_intra_doc_repetition(spark, sf_dir):
+    """Within-document repetition (the Gopher duplicate-n-gram-fraction
+    quality rule): fraction of a document's word-bigram occurrences that are
+    repeats of an earlier bigram. Entirely per-row JVM array expressions —
+    no shuffle, no UDF — the cheapest quality signal in the pipeline."""
+    from .operators.text import tokens_col
+
+    n = 2
+    toks = tokens_col("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = (
+        d.where(F.size(toks) >= n)
+        .select(
+            "doc_id",
+            F.size(grams).cast("long").alias("n_grams"),
+            F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        )
+        .withColumn(
+            "rep_ratio",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_grams"), 6),
+        )
+    )
+    return out
+
+
+SQL_INTRA_DOC_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) != ''
+), g AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+1], ' ')) AS grams
+  FROM t WHERE len(toks) >= 2
+)
+SELECT doc_id,
+  len(grams)::BIGINT AS n_grams,
+  len(list_distinct(grams))::BIGINT AS n_distinct,
+  round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6) AS rep_ratio
+FROM g
+"""
+
+
 _PD_SHIFT = 30_000_000  # id offset for the half-duplicated passage corpus
 _PD_WINDOW = 10
 
@@ -1195,6 +1242,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "url_canonicalize": q_url_canonicalize,
     "passage_dup_stats": q_passage_dup_stats,
+    "intra_doc_repetition": q_intra_doc_repetition,
     "embedding_normalize": q_embedding_normalize,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
@@ -1239,6 +1287,7 @@ ORACLE_SQL = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "passage_dup_stats": SQL_PASSAGE_DUP_STATS,
+    "intra_doc_repetition": SQL_INTRA_DOC_REPETITION,
     "embedding_normalize": SQL_EMBEDDING_NORMALIZE,
     "embedding_cosine_pairs": SQL_EMBEDDING_COSINE_PAIRS,
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
