@@ -344,6 +344,66 @@ SELECT token, n, rank FROM r WHERE rank <= 100
 """
 
 
+_PD_SHIFT = 30_000_000  # id offset for the half-duplicated corpora
+_PD_WINDOW = 10
+
+
+def q_fuzzy_dedup_keep(spark, sf_dir):
+    """The user-facing OUTPUT of a fuzzy dedup run: the kept corpus. Over a
+    half-duplicated corpus (every even-id doc also appears under a shifted
+    id), run the full MinHash → LSH → verify → CC path and keep the cluster
+    canonical (minimum id) plus every unclustered document. The oracle
+    derives the same keep set from exact text groups — identical because the
+    fuzzy path finds exactly the exact-duplicate clusters at threshold 1.0
+    (the recall invariant the pipeline tests pin)."""
+    release_persisted()
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionAll(
+        d.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select(
+            (F.col("doc_id") + _PD_SHIFT).alias("doc_id"), "text"
+        )
+    )
+    sigs = with_minhash_signature(u, CFG).select("doc_id", "minhash")
+    bands = bands_table(sigs, CFG, id_col="doc_id")
+    cands = candidate_pairs(bands, CFG, id_col="doc_id")
+    verified = verify_pairs(cands, sigs, CFG, id_col="doc_id", threshold=1.0)
+    texts = u.select("doc_id", "text")
+    edges = (
+        verified.join(
+            texts.select(F.col("doc_id").alias("url_a"), F.col("text").alias("_ta")),
+            "url_a",
+        )
+        .join(
+            texts.select(F.col("doc_id").alias("url_b"), F.col("text").alias("_tb")),
+            "url_b",
+        )
+        .where(F.col("_ta") == F.col("_tb"))
+        .select("url_a", "url_b")
+    )
+    clusters = connected_components(edges)
+    return (
+        u.join(clusters.withColumnRenamed("url", "doc_id"), "doc_id", "left")
+        .where(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .select("doc_id")
+    )
+
+
+SQL_FUZZY_DEDUP_KEEP = f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {{shift}} AS doc_id, text FROM documents WHERE doc_id % 2 = 0
+), g AS (
+  SELECT text, min(doc_id) AS cid, count(*) AS c FROM u GROUP BY text
+)
+SELECT u.doc_id AS doc_id FROM u JOIN g ON u.text = g.text
+WHERE g.c = 1 OR u.doc_id = g.cid
+""".replace("{shift}", str(_PD_SHIFT))
+
+
 def q_intra_doc_repetition(spark, sf_dir):
     """Within-document repetition (the Gopher duplicate-n-gram-fraction
     quality rule): fraction of a document's word-bigram occurrences that are
@@ -389,10 +449,6 @@ SELECT doc_id,
   round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6) AS rep_ratio
 FROM g
 """
-
-
-_PD_SHIFT = 30_000_000  # id offset for the half-duplicated passage corpus
-_PD_WINDOW = 10
 
 
 def q_passage_dup_stats(spark, sf_dir):
@@ -1243,6 +1299,7 @@ QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "passage_dup_stats": q_passage_dup_stats,
     "intra_doc_repetition": q_intra_doc_repetition,
+    "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
     "embedding_normalize": q_embedding_normalize,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
@@ -1288,6 +1345,7 @@ ORACLE_SQL = {
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "passage_dup_stats": SQL_PASSAGE_DUP_STATS,
     "intra_doc_repetition": SQL_INTRA_DOC_REPETITION,
+    "fuzzy_dedup_keep": SQL_FUZZY_DEDUP_KEEP,
     "embedding_normalize": SQL_EMBEDDING_NORMALIZE,
     "embedding_cosine_pairs": SQL_EMBEDDING_COSINE_PAIRS,
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
