@@ -219,6 +219,18 @@ def train_ivf_centroids(
         (r["id"], list(r["xq"]))
         for r in e.orderBy("id").limit(n_cells).collect()
     ]
+    if not cents:
+        raise ValueError(
+            "train_ivf_centroids: embeddings table is empty — cannot seed a codebook"
+        )
+    if len(cents) < n_cells:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "train_ivf_centroids: only %d vectors for n_cells=%d; the "
+            "codebook will have %d cells (n_probe is relative to this "
+            "effective count)", len(cents), n_cells, len(cents),
+        )
     dim = len(cents[0][1])
     for _ in range(n_iters):
         cdf = spark.createDataFrame(

@@ -1257,9 +1257,13 @@ def q_incremental_dedup_replay(spark, sf_dir):
             # the next batch extends the store (the lazy plan reads
             # "batch_id != b" store partitions, which later batches add to)
             parts.append(
+                # eager=True explicitly: the store dir is rmtree'd in the
+                # finally block, so the checkpoint MUST materialize the
+                # batch's pairs now — a lazy checkpoint would leave plans
+                # referencing deleted parquet paths
                 incremental_dedup_batch(
                     spark, batch, store, cfg, epoch_id=b
-                ).localCheckpoint()
+                ).localCheckpoint(eager=True)
             )
         out = parts[0]
         for p in parts[1:]:

@@ -46,13 +46,24 @@ _CRLF = b"\r\n"
 # parsing
 # --------------------------------------------------------------------------
 
-def parse_warc(data: bytes) -> list[dict]:
+def parse_warc(data: bytes, errors_out: list | None = None) -> list[dict]:
     """Parse a WARC archive (plain or gzipped bytes) into a list of dicts:
     {url, warc_ts (datetime|None), record_type, payload (bytes)}. Only
     records with a WARC-Target-URI are returned (warcinfo/request records
-    are skipped)."""
+    are skipped).
+
+    Malformed framing is TOLERATED, not fatal: real Common-Crawl archives
+    contain truncated tails and inter-record garbage, and raising here would
+    kill the whole file's Spark task (and with default retry semantics, the
+    job). On a framing error the parser resynchronizes at the next
+    ``WARC/`` magic (or stops at end of data); every skip/truncation is
+    counted into `errors_out` (append count per event) when provided."""
     if data[:2] == b"\x1f\x8b":
         data = _gzip.decompress(data)
+
+    def _err():
+        if errors_out is not None:
+            errors_out.append(1)
 
     records = []
     pos = 0
@@ -64,17 +75,36 @@ def parse_warc(data: bytes) -> list[dict]:
         if pos >= n:
             break
         if not data.startswith(b"WARC/", pos):
-            raise ValueError(f"malformed WARC: expected version line at byte {pos}")
-        hdr_end = data.index(_CRLF + _CRLF, pos)
+            # garbage between records: resync at the next record magic
+            _err()
+            nxt = data.find(b"WARC/", pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            # truncated header block at end of archive
+            _err()
+            break
         header_block = data[pos : hdr_end].decode("utf-8", "replace")
         headers: dict[str, str] = {}
         for line in header_block.split("\r\n")[1:]:
             if ":" in line:
                 k, v = line.split(":", 1)
                 headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            _err()
+            pos = hdr_end + 4
+            continue
         body_start = hdr_end + 4
         body = data[body_start : body_start + length]
+        if len(body) < length:
+            # truncated final record: the declared payload ran past EOF
+            _err()
+            break
         pos = body_start + length
 
         rtype = headers.get("warc-type", "")

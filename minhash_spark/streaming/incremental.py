@@ -94,6 +94,18 @@ def _effective_store_buckets(store_path: str, requested: int) -> int:
 
     os.makedirs(store_path, exist_ok=True)
     meta_path = os.path.join(store_path, "_store_meta.json")
+    if not os.path.exists(meta_path) and any(
+        _has_batches(d) for d in _store_subdirs(store_path)
+    ):
+        # a populated store with no manifest predates the bucketed layout —
+        # stamping fresh meta would make pruned_store_read fail later with
+        # an unrelated-looking missing-`store_bucket`-column error
+        raise ValueError(
+            f"incremental store {store_path} contains batches but no "
+            "_store_meta.json: legacy/unbucketed store layout. Rebuild the "
+            "store (or migrate it by adding store_bucket partition columns "
+            "and a _store_meta.json with its n_store_buckets)."
+        )
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             stored = int(json.load(f)["n_store_buckets"])

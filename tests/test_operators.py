@@ -394,3 +394,13 @@ def test_passage_dup_stats_semantics(spark):
     assert (got[2]["n_passages"], got[2]["n_dup_passages"]) == (3, 2)
     assert got[2]["dup_ratio"] == round(2 / 3, 6)
     assert (got[3]["n_passages"], got[3]["n_dup_passages"]) == (1, 0)
+
+
+def test_train_ivf_centroids_empty_raises(spark):
+    import pytest
+
+    from minhash_spark.operators.similarity import train_ivf_centroids
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        train_ivf_centroids(empty, n_cells=4)

@@ -201,3 +201,27 @@ def test_stateful_exact_dedup_counts_across_batches(spark, tmp_path_factory):
     # u4's text was first seen in batch 1 — the STATE made it a duplicate
     assert got["u4"] == (2, True)
     assert got["u5"] == (0, False)
+
+
+def test_legacy_unbucketed_store_rejected(tmp_path_factory):
+    """A populated store with no _store_meta.json predates the bucketed
+    layout — the reader must fail fast instead of stamping fresh meta onto a
+    store it cannot directory-prune (ADVICE r3)."""
+    import os
+
+    import pytest
+
+    from minhash_spark.streaming.incremental import (
+        _effective_store_buckets,
+        _store_subdirs,
+    )
+
+    store = str(tmp_path_factory.mktemp("legacy_store"))
+    sig_dir, _ = _store_subdirs(store)
+    os.makedirs(os.path.join(sig_dir, "batch_id=0"))
+    with pytest.raises(ValueError, match="legacy/unbucketed"):
+        _effective_store_buckets(store, 16)
+    # an EMPTY store (no batches) is fine: meta gets stamped
+    fresh = str(tmp_path_factory.mktemp("fresh_store"))
+    assert _effective_store_buckets(fresh, 16) == 16
+    assert _effective_store_buckets(fresh, 99) == 16  # layout wins

@@ -53,9 +53,31 @@ def test_html_to_text_spec():
     assert html_to_text("no tags  at\nall") == "no tags at all"
 
 
-def test_parse_rejects_garbage():
-    with pytest.raises(ValueError):
-        parse_warc(b"NOT A WARC FILE AT ALL................")
+def test_parse_tolerates_garbage():
+    # pure garbage: no records, one counted parse error, no exception —
+    # a bad file must not kill the Spark task (ADVICE r3)
+    errs: list = []
+    assert parse_warc(b"NOT A WARC FILE AT ALL................", errs) == []
+    assert len(errs) == 1
+
+
+def test_parse_resyncs_and_truncates():
+    good = _archive(False)
+    # leading garbage, then the archive, then a truncated record tail
+    truncated = build_warc([("https://t.example.com/t", TS, HTML_A)], compress=False)
+    blob = b"\x00\x01garbage" + good + truncated[: len(truncated) - 40]
+    errs: list = []
+    recs = parse_warc(blob, errs)
+    # both full records recovered; the truncated tail dropped, errors counted
+    assert [r["url"] for r in recs] == [
+        "https://a.example.com/x",
+        "https://b.example.com/y",
+    ]
+    assert len(errs) == 2  # one resync skip + one truncation
+    # garbage BETWEEN records: resync recovers the following record
+    blob2 = good + b"JUNKJUNKJUNK" + truncated
+    recs2 = parse_warc(blob2)
+    assert [r["url"] for r in recs2][-1] == "https://t.example.com/t"
 
 
 def test_read_warc_spark(spark, tmp_path_factory):
