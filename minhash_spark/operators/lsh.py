@@ -53,12 +53,25 @@ def bands_table(
     the key (equal slices in different bands never collide into one bucket),
     so no separate band_id column travels through the cache/shuffles; at
     10^12 docs the band table is the biggest intermediate and every column
-    on it is paid 32×/doc."""
+    on it is paid 32×/doc.
+
+    Accepts the signature in either representation: array<int> (slice per
+    band) or the packed int32 binary buffer (substring per band — still
+    whole-stage codegen). Equal signatures produce equal buckets in both
+    forms; the band_key VALUES differ between forms (hash of a list vs of
+    bytes), which is fine — band keys are internal bucket ids, never part
+    of a result contract."""
     rows = cfg.rows
-    band_slices = F.transform(
-        F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
-        lambda i: F.slice(F.col(sig_col), i * rows + 1, rows),
-    )
+    if dict(sig_df.dtypes)[sig_col] == "binary":
+        band_slices = F.transform(
+            F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
+            lambda i: F.substring(F.col(sig_col), i * (rows * 4) + 1, rows * 4),
+        )
+    else:
+        band_slices = F.transform(
+            F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
+            lambda i: F.slice(F.col(sig_col), i * rows + 1, rows),
+        )
     return (
         sig_df.select(id_col, F.posexplode(band_slices).alias("band_id", "band_sig"))
         .select(

@@ -26,10 +26,31 @@ def estimate_jaccard(sig_a: Column, sig_b: Column, sketch_size: int) -> Column:
     return matches.cast("double") / F.lit(float(sketch_size))
 
 
-def estimate_jaccard_udf(sketch_size: int):
+def estimate_jaccard_udf(sketch_size: int, packed: bool = False):
     """Arrow-vectorized estimator: one (batch × size) numpy equality per
     Arrow batch — ~2 orders of magnitude faster per pair than the
-    interpreted zip_with/aggregate path, same double count/size values."""
+    interpreted zip_with/aggregate path, same double count/size values.
+
+    packed=True takes the signatures as little-endian int32 binary buffers
+    (signatures.minhash_signature_udf(packed=True)): the whole Arrow batch
+    reconstitutes with ONE np.frombuffer + reshape per side — no per-row
+    list→ndarray conversion at all."""
+
+    if packed:
+
+        @pandas_udf(DoubleType())
+        def _est_packed(sig_a: pd.Series, sig_b: pd.Series) -> pd.Series:
+            if len(sig_a) == 0:
+                return pd.Series(np.empty(0, dtype=np.float64))
+            A = np.frombuffer(b"".join(sig_a), dtype="<i4").reshape(
+                len(sig_a), sketch_size
+            )
+            B = np.frombuffer(b"".join(sig_b), dtype="<i4").reshape(
+                len(sig_b), sketch_size
+            )
+            return pd.Series((A == B).sum(axis=1) / float(sketch_size))
+
+        return _est_packed
 
     @pandas_udf(DoubleType())
     def _est(sig_a: pd.Series, sig_b: pd.Series) -> pd.Series:
@@ -57,14 +78,21 @@ def verify_pairs(
     side is far smaller than the corpus after banding, and AQE picks
     broadcast when it fits."""
     thr = cfg.jaccard_threshold if threshold is None else threshold
-    # signatures are already int32 (array<int>, SIG_INFTY_INT sentinel) —
-    # half-width shuffle/Arrow rows for the two pair joins come for free.
-    # Callers holding legacy array<long> signatures must map the 2^63-1
-    # sentinel explicitly before casting: Spark 4 defaults to ANSI mode,
-    # where a plain int cast of 2^63-1 raises CAST_OVERFLOW (two empty
-    # documents produce all-sentinel signatures that meet in every band).
+    sig_type = dict(sig_df.dtypes)[sig_col]
+    # Preferred hot-path representation is the PACKED binary signature
+    # (signatures.with_minhash_signature(packed=True)): one contiguous
+    # sketch_size×4-byte buffer per row instead of a 128-element
+    # UnsafeArrayData (drops the 8B header + 16B null bitmap per shuffled
+    # row on BOTH pair joins and the sig-carrying intermediate), and the
+    # estimator rebuilds each Arrow batch with a single frombuffer.
+    # array<int> (SIG_INFTY_INT sentinel) remains supported — half-width vs
+    # legacy long arrays. Callers holding legacy array<long> signatures get
+    # the 2^63-1 sentinel mapped explicitly before casting: Spark 4 defaults
+    # to ANSI mode, where a plain int cast of 2^63-1 raises CAST_OVERFLOW
+    # (two empty documents produce all-sentinel signatures that meet in
+    # every band).
     packed = F.col(sig_col)
-    if dict(sig_df.dtypes)[sig_col] == "array<bigint>":
+    if sig_type == "array<bigint>":
         packed = F.transform(
             F.col(sig_col),
             lambda x: F.when(x == SIG_INFTY_LONG, F.lit(-1)).otherwise(
@@ -84,7 +112,7 @@ def verify_pairs(
     b = sig_df.select(F.col(id_col).alias("url_b"), packed.alias("_sig_b")).hint(
         "shuffle_hash"
     )
-    est = estimate_jaccard_udf(cfg.minhash.sketch_size)(
+    est = estimate_jaccard_udf(cfg.minhash.sketch_size, packed=(sig_type == "binary"))(
         F.col("_sig_a"), F.col("_sig_b")
     )
     return (

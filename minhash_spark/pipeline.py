@@ -114,7 +114,7 @@ class DedupPipeline:
             par = self.spark.sparkContext.defaultParallelism
             if src.rdd.getNumPartitions() < par:
                 src = src.repartition(2 * par)
-            sigs = with_minhash_signature(src, self.cfg).select("url", "ds", "minhash")
+            sigs = with_minhash_signature(src, self.cfg, packed=True).select("url", "ds", "minhash")
             mode = "append" if done_ds else "overwrite"
             sigs.write.mode(mode).partitionBy("ds").parquet(out)
         self._log_metric(

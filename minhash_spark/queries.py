@@ -92,7 +92,7 @@ def _minhash_text_dup_pairs(spark, sf_dir) -> DataFrame:
     # previous run's caches on entry, bounding the footprint to one table.
     release_persisted()
     u = _docs_union(spark, sf_dir)
-    sigs = with_minhash_signature(u, CFG).select("doc_id", "minhash")
+    sigs = with_minhash_signature(u, CFG, packed=True).select("doc_id", "minhash")
     bands = bands_table(sigs, CFG, id_col="doc_id")
     cands = candidate_pairs(bands, CFG, id_col="doc_id")
     verified = verify_pairs(cands, sigs, CFG, id_col="doc_id", threshold=1.0)
@@ -363,7 +363,7 @@ def q_fuzzy_dedup_keep(spark, sf_dir):
             (F.col("doc_id") + _PD_SHIFT).alias("doc_id"), "text"
         )
     )
-    sigs = with_minhash_signature(u, CFG).select("doc_id", "minhash")
+    sigs = with_minhash_signature(u, CFG, packed=True).select("doc_id", "minhash")
     bands = bands_table(sigs, CFG, id_col="doc_id")
     cands = candidate_pairs(bands, CFG, id_col="doc_id")
     verified = verify_pairs(cands, sigs, CFG, id_col="doc_id", threshold=1.0)
@@ -1181,7 +1181,7 @@ def q_near_dup_pairs(spark, sf_dir):
     band-slice collisions exactly."""
     release_persisted()  # bound enumerator-cache footprint across query runs
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = with_minhash_signature(d, CFG).select("doc_id", "minhash")
+    sigs = with_minhash_signature(d, CFG, packed=True).select("doc_id", "minhash")
     bands = bands_table(sigs, CFG, id_col="doc_id")
     cands = candidate_pairs(bands, CFG, id_col="doc_id")
     return verify_pairs(cands, sigs, CFG, id_col="doc_id", threshold=0.5).select(

@@ -73,6 +73,12 @@ def stream_signatures(
     return writer.start()
 
 
+# on-disk signature representation of THIS build (packed little-endian int32
+# buffers); stamped into _store_meta.json because band_key derivation depends
+# on it — see _effective_store_buckets
+_SIG_FORMAT = "packed-i4le"
+
+
 def _store_subdirs(store_path: str) -> tuple[str, str]:
     return os.path.join(store_path, "signatures"), os.path.join(store_path, "bands")
 
@@ -108,7 +114,17 @@ def _effective_store_buckets(store_path: str, requested: int) -> int:
         )
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            stored = int(json.load(f)["n_store_buckets"])
+            meta = json.load(f)
+        stored = int(meta["n_store_buckets"])
+        if meta.get("sig_format") != _SIG_FORMAT:
+            # band_key values differ between signature representations
+            # (xxhash64 of an int list vs of packed bytes) — a batch written
+            # in another format would silently never collide with this store
+            raise ValueError(
+                f"incremental store {store_path} was written with signature "
+                f"format {meta.get('sig_format')!r}; this build writes "
+                f"{_SIG_FORMAT!r}. Rebuild the store."
+            )
         if stored != requested:
             logging.getLogger(__name__).warning(
                 "incremental store %s was created with n_store_buckets=%d; "
@@ -117,7 +133,7 @@ def _effective_store_buckets(store_path: str, requested: int) -> int:
             )
         return stored
     with open(meta_path, "w") as f:
-        json.dump({"n_store_buckets": requested}, f)
+        json.dump({"n_store_buckets": requested, "sig_format": _SIG_FORMAT}, f)
     return requested
 
 
@@ -183,7 +199,7 @@ def incremental_dedup_batch(
     n_store_buckets = _effective_store_buckets(store_path, n_store_buckets)
     sig_store, band_store = _store_subdirs(store_path)
     batch_sigs = with_minhash_signature(
-        batch_df.select("url", "text"), cfg
+        batch_df.select("url", "text"), cfg, packed=True
     ).select("url", "minhash").persist()
     new_bands = bands_table(batch_sigs, cfg).persist()
 

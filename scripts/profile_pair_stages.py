@@ -6,7 +6,11 @@ optimization — a full pipeline re-run per experiment would spend 90% of its
 wall on the signature UDF stage that is not under study.
 
 Usage:
-  SPARK_GRAFT_CPUS=8 python scripts/profile_pair_stages.py [sf_dir] [amplify]
+  SPARK_GRAFT_CPUS=8 python scripts/profile_pair_stages.py [sf_dir] [amplify] [packed]
+
+`packed` (default 1) selects the signature representation under test:
+1 = packed int32 binary buffers (the hot-path default), 0 = array<int> —
+the A/B for the verify shuffle-volume work.
 
 Prints one JSON line: per-stage wall, summed task seconds, utilization,
 GC seconds, shuffle bytes written, and row counts.
@@ -37,7 +41,10 @@ LOG_DIR = "/tmp/spark-events-pair-profile"
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     amplify = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    cache = f"{SIG_CACHE}_{os.path.basename(sf_dir)}_{amplify}"
+    packed = bool(int(sys.argv[3])) if len(sys.argv) > 3 else True
+    cache = f"{SIG_CACHE}_{os.path.basename(sf_dir)}_{amplify}" + (
+        "_pk" if packed else ""
+    )
 
     shutil.rmtree(LOG_DIR, ignore_errors=True)
     os.makedirs(LOG_DIR, exist_ok=True)
@@ -52,9 +59,9 @@ def main() -> None:
 
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         docs = bench.amplified_docs(spark, sf_dir, amplify)
-        with_minhash_signature(docs, CFG).select("doc_id", "minhash").write.mode(
-            "overwrite"
-        ).parquet(cache)
+        with_minhash_signature(docs, CFG, packed=packed).select(
+            "doc_id", "minhash"
+        ).write.mode("overwrite").parquet(cache)
 
     sigs = spark.read.parquet(cache).persist()
     n_docs = sigs.count()  # warm the cache outside the timed windows
@@ -106,7 +113,13 @@ def main() -> None:
                     )
 
     cores = default_parallelism()
-    out = {"cpus": cores, "amplify": amplify, "n_docs": n_docs, "stages": {}}
+    out = {
+        "cpus": cores,
+        "amplify": amplify,
+        "packed": packed,
+        "n_docs": n_docs,
+        "stages": {},
+    }
     for name, t0, t1 in marks:
         wall = t1 - t0
         w = [t for t in tasks if t0 <= t[0] and t[1] <= t1 + 1]

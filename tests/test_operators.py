@@ -404,3 +404,56 @@ def test_train_ivf_centroids_empty_raises(spark):
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         train_ivf_centroids(empty, n_cells=4)
+
+
+def test_packed_signature_representation_parity(spark):
+    """The packed binary signature is a pure re-encoding: unpacking gives the
+    array form cell-for-cell, and the banding → candidates → verify chain
+    produces identical results from either representation (band_key VALUES
+    differ — hash of bytes vs of a list — but bucket contents, and therefore
+    pairs, are the same)."""
+    import numpy as np
+
+    from minhash_spark.config import DedupConfig
+    from minhash_spark.operators.lsh import (
+        bands_table,
+        candidate_pairs,
+        release_persisted,
+    )
+    from minhash_spark.operators.signatures import with_minhash_signature
+    from minhash_spark.operators.verify import verify_pairs
+
+    cfg = DedupConfig()
+    texts = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett",
+        "totally different words in this one nothing shared at all here",
+        "",  # empty doc: all-sentinel signature must survive packing
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    arr = with_minhash_signature(df, cfg).select("doc_id", "minhash")
+    pk = with_minhash_signature(df, cfg, packed=True).select("doc_id", "minhash")
+    a_rows = {r["doc_id"]: np.asarray(r["minhash"], dtype=np.int32) for r in arr.collect()}
+    p_rows = {
+        r["doc_id"]: np.frombuffer(bytes(r["minhash"]), dtype="<i4")
+        for r in pk.collect()
+    }
+    for k in a_rows:
+        assert np.array_equal(a_rows[k], p_rows[k]), k
+
+    def run(sigs):
+        bands = bands_table(sigs, cfg, id_col="doc_id")
+        cands = candidate_pairs(bands, cfg, id_col="doc_id")
+        out = {
+            (r["url_a"], r["url_b"], r["est_jaccard"])
+            for r in verify_pairs(
+                cands, sigs, cfg, id_col="doc_id", threshold=0.5
+            ).collect()
+        }
+        release_persisted()
+        return out
+
+    assert run(arr) == run(pk)
+    assert run(pk)  # the near-dup pair must actually be found

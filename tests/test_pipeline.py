@@ -72,7 +72,10 @@ def test_spark_signatures_match_oracle(spark, result, local_sigs):
     rows = spark.read.parquet(result.signatures_path).collect()
     assert len(rows) == N_PAGES
     for r in rows:
-        assert np.array_equal(np.array(r["minhash"]), local_sigs[r["url"]]), r["url"]
+        # the pipeline stores signatures in the packed little-endian int32
+        # representation; values must still match the oracle cell-for-cell
+        got = np.frombuffer(bytes(r["minhash"]), dtype="<i4")
+        assert np.array_equal(got, local_sigs[r["url"]]), r["url"]
 
 
 def test_dup_pair_recall_and_precision(spark, result, oracle_pairs):
