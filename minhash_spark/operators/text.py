@@ -164,6 +164,7 @@ def passage_dup_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 10,
+    key_mode: str = "hash",
 ) -> DataFrame:
     """Duplicated-passage fraction per document — the RefinedWeb/Gopher-class
     repetition signal a training-data pipeline filters on: chunk each
@@ -174,24 +175,33 @@ def passage_dup_stats(
 
     All JVM (split/slice/explode + two hash aggregations): the passage table
     shuffles once for the global distinct-doc count and once for the per-doc
-    rollup — both partial-aggregated. Passages are keyed by their exact
-    string here so the DuckDB oracle can replay the query; at 10^12-doc
-    scale key by xxhash64(passage) instead (64-bit collisions are noise for
-    a quality signal and the shuffle rows shrink ~window×)."""
+    rollup — both partial-aggregated.
+
+    key_mode — the passage-table key the shuffles carry:
+    - "hash" (default, the 10^12-doc form): xxhash64(passage). Shuffle rows
+      shrink ~window× (16 bytes vs the full passage string); a 64-bit
+      collision can only mark a unique passage as duplicated, and at the
+      ~1e-?·n²/2^64 collision rate that is pure noise for a quality signal.
+    - "string": the exact passage string — the oracle mode (DuckDB replays
+      it verbatim), and the mode to use if byte-exact counts matter more
+      than shuffle width."""
+    if key_mode not in ("hash", "string"):
+        raise ValueError(f"key_mode must be 'hash' or 'string', got {key_mode!r}")
     toks = tokens_col(text_col)
     src = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks")).where(
         F.size("_toks") >= window
     )
     n_chunks = (F.size("_toks") / window).cast("int")
+    passage_str = lambda i: F.array_join(F.slice("_toks", i * window + 1, window), " ")
+    key_of = (
+        (lambda i: F.xxhash64(passage_str(i)))
+        if key_mode == "hash"
+        else passage_str
+    )
     passages = src.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(
-                    F.slice("_toks", i * window + 1, window), " "
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), n_chunks - 1), key_of)
         ).alias("passage"),
     )
     global_counts = passages.groupBy("passage").agg(

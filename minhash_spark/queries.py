@@ -464,7 +464,10 @@ def q_passage_dup_stats(spark, sf_dir):
             (F.col("doc_id") + _PD_SHIFT).alias("doc_id"), "text"
         )
     )
-    return passage_dup_stats(u, window=_PD_WINDOW)
+    # string keys: the oracle replays the exact passage multiset in SQL.
+    # Production default is key_mode="hash" (xxhash64 passage keys, ~window×
+    # smaller shuffle rows); tests pin hash-mode == string-mode dup_ratio.
+    return passage_dup_stats(u, window=_PD_WINDOW, key_mode="string")
 
 
 SQL_PASSAGE_DUP_STATS = rf"""

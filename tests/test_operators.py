@@ -457,3 +457,31 @@ def test_packed_signature_representation_parity(spark):
 
     assert run(arr) == run(pk)
     assert run(pk)  # the near-dup pair must actually be found
+
+
+def test_passage_dup_stats_hash_mode_equals_string_mode(spark):
+    """The default hashed passage key (the at-scale shuffle form) must
+    produce the same per-doc stats as the exact-string key on a corpus with
+    real cross-doc repetition (xxhash64 collisions are the only possible
+    divergence, and none occur on a small fixture)."""
+    from minhash_spark.operators.text import passage_dup_stats
+
+    base = "one two three four five six seven eight nine ten "
+    rows = [
+        (1, base * 3),                        # 3 identical passages, dup'd by 2
+        (2, base + "a b c d e f g h i j " * 2),  # shares passage 1 with doc 1
+        (3, "k l m n o p q r s t " * 2),      # unique
+        (4, "too short"),                     # below one window: no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        r["doc_id"]: (r["n_passages"], r["n_dup_passages"], r["dup_ratio"])
+        for r in passage_dup_stats(df, window=10, key_mode="string").collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_passages"], r["n_dup_passages"], r["dup_ratio"])
+        for r in passage_dup_stats(df, window=10, key_mode="hash").collect()
+    }
+    assert got == want
+    assert 1 in got and got[1][1] > 0  # the fixture actually induces dups
+    assert 4 not in got
