@@ -3,9 +3,9 @@ sweep harness (sketch-size sweep run_tests_prob_sketch_size.sh:10-17,
 threshold sweep run_test_threshold.sh:8-16, mix sweep run_tests_prob.sh:24-30)
 — the recall/precision/throughput tradeoff surface a user tunes against.
 
-Sweeps sketch_size ∈ {64,128,256} × (bands,rows) ∈ {(16,4),(32,4),(16,8)}
-(cells with bands·rows > sketch_size are infeasible — a band slice cannot
-extend past the sketch — and are reported as skipped) over the SAME
+Sweeps sketch_size ∈ {64,128,256} × every full banding geometry
+(bands·rows == sketch_size, rows ∈ {4,8,16} — the config pins the whole
+sketch banded, a band slice cannot extend past the sketch) over the SAME
 amplified corpus as bench.py: ground truth = every within-mutation clone
 pair (Jaccard ≈ 0.97); hard negatives = cross-mutation pairs (J ≈ 0.2-0.3).
 
@@ -35,7 +35,11 @@ from minhash_spark.operators.verify import verify_pairs
 import bench
 
 SKETCH_SIZES = [64, 128, 256]
-GEOMETRIES = [(16, 4), (32, 4), (16, 8)]
+ROWS_CHOICES = [4, 8, 16]
+
+
+def geometries(sketch: int) -> list[tuple[int, int]]:
+    return [(sketch // r, r) for r in ROWS_CHOICES if sketch % r == 0 and sketch // r >= 8]
 
 
 def truth_pairs(docs):
@@ -96,12 +100,9 @@ def main() -> None:
     truth = truth_pairs(docs).persist()
     n_truth = truth.count()
 
-    cells, skipped = [], []
+    cells = []
     for sketch in SKETCH_SIZES:
-        for bands, rows in GEOMETRIES:
-            if bands * rows > sketch:
-                skipped.append({"sketch": sketch, "bands": bands, "rows": rows})
-                continue
+        for bands, rows in geometries(sketch):
             cell = run_cell(spark, docs, truth, n_docs, n_truth, sketch, bands, rows)
             print(f"# {cell}", file=sys.stderr, flush=True)
             cells.append(cell)
@@ -115,7 +116,6 @@ def main() -> None:
         "n_truth_pairs": n_truth,
         "cpus": default_parallelism(),
         "cells": cells,
-        "skipped_infeasible": skipped,
     }
     print(json.dumps(out))
 

@@ -225,3 +225,62 @@ def test_legacy_unbucketed_store_rejected(tmp_path_factory):
     fresh = str(tmp_path_factory.mktemp("fresh_store"))
     assert _effective_store_buckets(fresh, 16) == 16
     assert _effective_store_buckets(fresh, 99) == 16  # layout wins
+
+
+def test_store_reads_stay_bounded_as_store_grows(tmp_path_factory, spark):
+    """The Spark analog of the reference's infinite-write harness
+    (test/fcds/test_fixed_queries_infinite_write.c:94-99): drive 8
+    incremental batches and prove the per-batch store read stays at the
+    probe's TOUCHED-BUCKET fraction of the store while the store grows 8× —
+    i.e. reads are O(touched buckets), not O(corpus). Row counts are the
+    proof (inputFiles() lists the relation's files before partition filters
+    apply, so it cannot show pruning); partition-filter reachability is
+    pinned by test_incremental_store_read_prunes_buckets."""
+    from minhash_spark.operators.lsh import bands_table
+    from minhash_spark.operators.signatures import with_minhash_signature
+    from minhash_spark.streaming.incremental import (
+        _bucket_col,
+        _store_subdirs,
+        pruned_store_read,
+    )
+
+    n_buckets = 256
+    store = str(tmp_path_factory.mktemp("grow") / "store")
+    pages, _, _ = generate_corpus(400, seed=11)
+    df = spark.createDataFrame(pages).select("url", "text")
+
+    # fixed tiny probe: its band keys touch a small, constant bucket set
+    probe = df.limit(2)
+    touched = [
+        r[0]
+        for r in bands_table(
+            with_minhash_signature(probe, CFG, packed=True).select(
+                "url", "minhash"
+            ),
+            CFG,
+        )
+        .select(_bucket_col("band_key", n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    frac_bound = 2.0 * len(touched) / n_buckets
+    assert frac_bound < 0.8  # the probe must not trivially touch everything
+
+    _, band_store = _store_subdirs(store)
+    fractions = []
+    for i in range(8):
+        batch = df.where(
+            (F.crc32("url") % 8 == i)  # disjoint slices, roughly equal
+        )
+        incremental_dedup_batch(
+            spark, batch, store, CFG, epoch_id=i, n_store_buckets=n_buckets
+        ).count()
+        total = spark.read.parquet(band_store).count()
+        pruned = pruned_store_read(spark, band_store, 10_000, touched).count()
+        fractions.append(pruned / total)
+
+    # the store grew ~8x; the probe's read fraction must stay bounded by the
+    # touched-bucket share throughout (uniform-hash slack 2x) and must not
+    # trend toward full scans
+    assert all(f <= frac_bound for f in fractions), fractions
+    assert fractions[-1] <= 1.5 * max(fractions[0], 1e-9) + 0.05, fractions
