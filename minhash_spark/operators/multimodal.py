@@ -3,14 +3,17 @@ with typed metadata, processed through Arrow-batched mapInPandas.
 
 Decoded FOR REAL in pure numpy: BMP (24-bit uncompressed) and WAV (PCM16)
 parse the actual on-disk layout (header validation, bottom-up BGR rows,
-little-endian samples), and baseline JPEG goes through a full SOF0 bitstream
+little-endian samples); baseline JPEG goes through a full SOF0 bitstream
 decoder (operators/jpeg.py: DQT/DHT/SOF/SOS parse, Huffman, dequantize,
-IDCT, 3-component YCbCr, sampling factors, restart markers). Codecs this
-container genuinely cannot handle (progressive JPEG, PNG, MP3, video) are
-STUBBED behind NotImplementedError — with ``fake_decode`` as the
-deterministic stand-in so the Spark-side plumbing (schema, partitioning,
-UDF signature, batch shape) stays real and tested either way. Swapping in
-Pillow/torchaudio later only replaces the per-batch kernel.
+IDCT, 3-component YCbCr, sampling factors, restart markers); and PNG goes
+through a full container + from-scratch RFC 1951 inflate + unfilter path
+(operators/png.py: 8-bit gray/GA/RGB/RGBA, stored/fixed/dynamic-Huffman
+blocks). Codecs this container genuinely cannot handle (progressive JPEG,
+palette/interlaced PNG, MP3, video) are STUBBED behind NotImplementedError
+— with ``fake_decode`` as the deterministic stand-in so the Spark-side
+plumbing (schema, partitioning, UDF signature, batch shape) stays real and
+tested either way. Swapping in Pillow/torchaudio later only replaces the
+per-batch kernel.
 """
 
 from __future__ import annotations
@@ -119,11 +122,12 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
 
 def decode_media(data: bytes, media_type: str):
     """Decode entry point: real pure-numpy parsers for the formats this
-    environment can handle — uncompressed BMP24/WAV-PCM16 and baseline JPEG
+    environment can handle — uncompressed BMP24/WAV-PCM16, baseline JPEG
     (operators/jpeg.py: full SOF0 decoder incl. 3-component YCbCr, sampling
-    factors, restart markers). Progressive JPEG / PNG / MP3 / video still
-    raise (they need external codec libraries — swap in Pillow/ffmpeg where
-    available)."""
+    factors, restart markers) and PNG (operators/png.py: full chunk/zlib/
+    RFC 1951 inflate/unfilter path, 8-bit gray/GA/RGB/RGBA). Progressive
+    JPEG / palette PNG / MP3 / video still raise (they need external codec
+    libraries — swap in Pillow/ffmpeg where available)."""
     if media_type == "bmp":
         return decode_bmp24(data)
     if media_type == "wav":
@@ -132,6 +136,10 @@ def decode_media(data: bytes, media_type: str):
         from .jpeg import decode_baseline
 
         return decode_baseline(data)
+    if media_type == "png":
+        from .png import decode_png
+
+        return decode_png(data)
     raise NotImplementedError(
         f"decoding {media_type!r} requires external codec libraries "
         "(Pillow / ffmpeg / torchaudio); use fake_decode for plumbing tests"
@@ -224,19 +232,19 @@ JPEG_FEATURES_SCHEMA = StructType(
 )
 
 
-def jpeg_gray_stats(
-    df: DataFrame, media_col: str = "payload", id_col: str = "doc_id"
+def _gray_stats(
+    df: DataFrame, media_type: str, media_col: str, id_col: str
 ) -> DataFrame:
-    """mapInPandas: REAL baseline-JPEG decode (full SOF0 bitstream: Huffman,
-    dequantize, IDCT) → image stats. With power-of-two pixel counts the
-    integer-sum/count divisions are exact doubles — oracle-comparable."""
+    """mapInPandas: REAL codec decode → grayscale image stats. With
+    power-of-two pixel counts the integer-sum/count divisions are exact
+    doubles — oracle-comparable."""
     src = df.select(F.col(id_col).alias("doc_id"), F.col(media_col).alias("media"))
 
     def _f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for did, data in zip(pdf["doc_id"], pdf["media"]):
-                img = decode_media(bytes(data), "jpeg")
+                img = decode_media(bytes(data), media_type)
                 s = img.astype(np.int64)
                 out.append(
                     (
@@ -254,6 +262,41 @@ def jpeg_gray_stats(
             )
 
     return src.mapInPandas(_f, JPEG_FEATURES_SCHEMA)
+
+
+def jpeg_gray_stats(
+    df: DataFrame, media_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Baseline-JPEG decode (full SOF0 bitstream: Huffman, dequantize,
+    IDCT) → image stats."""
+    return _gray_stats(df, "jpeg", media_col, id_col)
+
+
+def png_payload_udf(w: int, h: int):
+    """pandas UDF: text → PNG of a w×h grayscale image whose pixel (r, c)
+    is the (r·w + c)-th cycled text byte. PNG is LOSSLESS (stored-block
+    zlib, filter 0 — operators/png.py), so unlike the block-constant JPEG
+    construction no structural restriction is needed for the oracle: any
+    byte pattern round-trips exactly."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .png import encode_png
+
+    @pandas_udf(BinaryType())
+    def _png(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [encode_png(cycle_bytes(t, w * h).reshape(h, w)) for t in texts]
+        )
+
+    return _png
+
+
+def png_gray_stats(
+    df: DataFrame, media_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """PNG decode (full chunk/zlib/inflate/unfilter path) → image stats."""
+    return _gray_stats(df, "png", media_col, id_col)
 
 
 def wav_payload_udf(n_samples: int, rate: int = 16000):

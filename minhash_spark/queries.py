@@ -848,6 +848,49 @@ FROM v
 """
 
 
+_PNG_W, _PNG_H = 16, 16  # 256 = 2^8 pixels → exact double mean
+
+
+def q_multimodal_png_roundtrip(spark, sf_dir):
+    """Lossless compressed-codec path, value-oracled: text bytes → 16×16
+    grayscale image → REAL PNG encode (stored-block zlib, operators/png.py)
+    → REAL PNG decode (chunk framing + CRC, from-scratch RFC 1951 inflate,
+    scanline unfilter) → image stats. PNG is lossless, so the oracle
+    recomputes the stats directly from the cycled text bytes with no
+    structural restriction on the image (contrast the flat-block JPEG
+    construction)."""
+    from .operators.multimodal import png_payload_udf, png_gray_stats
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = d.select(
+        "doc_id", png_payload_udf(_PNG_W, _PNG_H)("text").alias("payload")
+    )
+    return png_gray_stats(payloads)
+
+
+_PNG_NPX = _PNG_W * _PNG_H
+SQL_MULTIMODAL_PNG_ROUNDTRIP = f"""
+WITH codes AS (
+  SELECT doc_id,
+    list_transform(regexp_split_to_array(text, ''), c -> unicode(c)) AS cs,
+    length(text) AS n
+  FROM documents
+), v AS (
+  SELECT doc_id,
+    CASE WHEN n = 0 THEN [0]
+         ELSE list_transform(range(0, {_PNG_NPX}), j -> cs[(j % n) + 1]) END AS vals
+  FROM codes
+)
+SELECT doc_id,
+  {_PNG_W}::BIGINT AS width,
+  {_PNG_H}::BIGINT AS height,
+  list_sum(vals) / {_PNG_NPX}.0 AS mean_px,
+  list_min(vals)::BIGINT AS min_px,
+  list_max(vals)::BIGINT AS max_px
+FROM v
+"""
+
+
 def q_multimodal_audio_features(spark, sf_dir):
     from .operators.multimodal import wav_payload_udf, audio_stats
 
@@ -1315,6 +1358,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_jpeg_roundtrip": q_multimodal_jpeg_roundtrip,
+    "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -1361,6 +1405,7 @@ ORACLE_SQL = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_image_features": SQL_MULTIMODAL_IMAGE_FEATURES,
     "multimodal_jpeg_roundtrip": SQL_MULTIMODAL_JPEG_ROUNDTRIP,
+    "multimodal_png_roundtrip": SQL_MULTIMODAL_PNG_ROUNDTRIP,
     "multimodal_audio_features": SQL_MULTIMODAL_AUDIO_FEATURES,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "tpch_q1_pricing": SQL_TPCH_Q1_PRICING,

@@ -1,0 +1,167 @@
+"""PNG codec: checksum/inflate parity vs stdlib zlib, stored-block
+round trips for every channel count, all five scanline filters, error
+paths, and the Spark png-roundtrip query plumbing."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from minhash_spark.operators.png import (
+    PNG_SIG,
+    _chunk,
+    adler32,
+    crc32,
+    decode_png,
+    encode_png,
+    inflate,
+    zlib_compress_stored,
+    zlib_decompress,
+)
+
+rng = np.random.default_rng(7)
+
+
+def test_checksums_match_stdlib():
+    for n in (0, 1, 100, 6000, 70000):
+        b = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert adler32(b) == zlib.adler32(b)
+        assert crc32(b) == zlib.crc32(b)
+
+
+def test_inflate_decodes_stdlib_zlib_all_block_types():
+    payloads = [
+        b"",
+        b"a",
+        b"abcabcabcabcabc" * 100,  # LZ77 matches, overlap copies
+        bytes(rng.integers(0, 256, 50000, dtype=np.uint8)),  # incompressible
+        b"the quick brown fox " * 1000,  # dynamic Huffman territory
+    ]
+    # level 0 → stored blocks, 1 → fixed/short codes, 6/9 → dynamic Huffman
+    for lvl in (0, 1, 6, 9):
+        for p in payloads:
+            assert zlib_decompress(zlib.compress(p, lvl)) == p
+
+
+def test_stored_stream_is_standard_zlib():
+    for p in (b"", b"x" * 10, bytes(rng.integers(0, 256, 200_000, dtype=np.uint8))):
+        s = zlib_compress_stored(p)
+        assert zlib.decompress(s) == p  # a real zlib reader accepts it
+        assert zlib_decompress(s) == p
+
+
+@pytest.mark.parametrize(
+    "shape", [(7, 5), (16, 16), (3, 9, 2), (8, 8, 3), (5, 4, 4), (1, 1), (1, 300, 3)]
+)
+def test_png_roundtrip_exact(shape):
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    back = decode_png(encode_png(img))
+    assert back.shape == img.shape
+    assert np.array_equal(back, img)
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _filter_forward(img: np.ndarray, ftypes: list[int], channels: int) -> bytes:
+    """Apply PNG filters FORWARD (encoder side) row by row — the inverse of
+    the decoder's _unfilter, used to build externally-shaped test vectors."""
+    h, stride = img.shape
+    bpp = channels
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = img[y].astype(np.int64)
+        ft = ftypes[y % len(ftypes)]
+        line = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            left = cur[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                line[x] = cur[x]
+            elif ft == 1:
+                line[x] = cur[x] - left
+            elif ft == 2:
+                line[x] = cur[x] - up
+            elif ft == 3:
+                line[x] = cur[x] - ((left + up) >> 1)
+            else:
+                line[x] = cur[x] - _paeth(int(left), int(up), int(ul))
+        out.append(ft)
+        out += bytes((line & 0xFF).astype(np.uint8))
+        prev = cur
+    return bytes(out)
+
+
+@pytest.mark.parametrize("channels,ctype", [(1, 0), (3, 2), (4, 6)])
+def test_decode_all_filter_types(channels, ctype):
+    """A hand-built PNG using every filter type (cycling 0..4 across rows)
+    and real zlib compression (dynamic Huffman) must decode to the source
+    image — the externally-produced-stream path."""
+    h, w = 11, 6
+    img = rng.integers(0, 256, (h, w * channels), dtype=np.uint8)
+    raw = _filter_forward(img, [0, 1, 2, 3, 4], channels)
+    data = (
+        PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+    got = decode_png(data)
+    want = img if channels == 1 else img.reshape(h, w, channels)
+    assert np.array_equal(got, want)
+
+
+def test_decoder_error_paths():
+    img = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    good = encode_png(img)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"notapng" + good)
+    # corrupt one IDAT byte → chunk CRC must catch it
+    idx = good.index(b"IDAT") + 6
+    bad = good[:idx] + bytes([good[idx] ^ 0xFF]) + good[idx + 1 :]
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bad)
+    # 16-bit depth / palette / interlace are honest capability boundaries
+    hdr16 = PNG_SIG + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    ) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(hdr16)
+    interlaced = PNG_SIG + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    ) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="interlac"):
+        decode_png(interlaced)
+    with pytest.raises(ValueError, match="LEN/NLEN"):
+        inflate(b"\x01\x05\x00\x00\x00hello")  # NLEN not complement
+
+
+def test_png_query_matches_direct_stats(spark):
+    """The Spark roundtrip query (text → PNG encode → PNG decode → stats)
+    must equal stats computed directly from the cycled text bytes — the
+    lossless contract the oracle checks at the driver."""
+    from minhash_spark.operators.multimodal import cycle_bytes, png_payload_udf, png_gray_stats
+
+    texts = ["hello world", "", "abc", "x" * 2000]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    w = h = 16
+    out = png_gray_stats(
+        df.select("doc_id", png_payload_udf(w, h)("text").alias("payload"))
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    for i, t in enumerate(texts):
+        vals = cycle_bytes(t, w * h).astype(np.int64)
+        r = got[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_px"] == vals.sum() / float(vals.size)
+        assert (r["min_px"], r["max_px"]) == (int(vals.min()), int(vals.max()))
