@@ -305,7 +305,7 @@ it costs +120% wall on the candidate stage).
 The reference repo publishes no numbers (BASELINE.md at repo root);
 correctness parity is the sketch-semantics equality enforced by tests
 (vectorized kernels == serial oracle clone; Spark output == kernels; DuckDB
-oracle == Spark on all 32 driver queries) and the dup-pair recall ≥ 0.99 e2e
+oracle == Spark on every registered driver query) and the dup-pair recall ≥ 0.99 e2e
 gate (tests/test_pipeline.py).
 """)
     print("→ BENCH/BASELINE.md")
