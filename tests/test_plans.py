@@ -140,3 +140,29 @@ def test_jvm_estimator_expression_matches_udf(spark):
         assert r["jvm"] == r["arrow"]
     got = {r["k"]: r["jvm"] for r in out}
     assert got == {"a": 1.0, "b": 2 / 128, "c": 0.5}
+
+
+def test_packed_path_stays_jvm_and_hash_joined(spark):
+    """The packed-binary signature path (the hot-path default) must keep
+    every plan property of the array path: banding/candidates JVM-only
+    (binary substring slices stay in codegen), verify joins hash not
+    sort-merge, Python crossing Arrow-only."""
+    texts = [(i, f"document number {i} with some shared tokens alpha beta") for i in range(20)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    sigs = with_minhash_signature(df, CFG, packed=True).select("doc_id", "minhash")
+    # force the sig column through a materialized boundary so the banding
+    # plan below contains no Python from the signature UDF itself
+    sigs = spark.createDataFrame(sigs.collect(), sigs.schema)
+    assert dict(sigs.dtypes)["minhash"] == "binary"
+
+    cands = candidate_pairs(bands_table(sigs, CFG, id_col="doc_id"), CFG, id_col="doc_id")
+    rep = plan_report(cands)
+    assert not rep.has_python, rep.python_stages
+    assert "ObjectHashAggregate" not in rep.text
+
+    # isolate the verify joins from the candidate enumeration (whose
+    # small-tier self-join legitimately reuses the bucket window's sort)
+    pairs = cands.localCheckpoint()
+    rep2 = plan_report(verify_pairs(pairs, sigs, CFG, id_col="doc_id"))
+    assert "SortMergeJoin" not in rep2.text, rep2.joins
+    assert set(rep2.python_stages) == {"ArrowEvalPython"}, rep2.python_stages
