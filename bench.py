@@ -103,7 +103,11 @@ def amplified_docs(spark, sf_dir, amplify: int | None = None):
     )
 
 
-# tmpfs: /tmp is a virtio disk on this box and serializes large reads
+# tmpfs: /tmp is a virtio disk on this box and serializes large reads.
+# Bump CORPUS_VERSION whenever amplified_docs' construction changes — the
+# cache is keyed on (version, sf, amplify) only, and a stale corpus would
+# silently benchmark old data.
+CORPUS_VERSION = 1
 CORPUS_CACHE = "/dev/shm/bench_corpus"
 
 
@@ -113,7 +117,10 @@ def corpus_parquet(spark, sf_dir, amplify: int | None = None):
     of a real run (pipelines scan a corpus table; they don't synthesize it),
     and the timed number measures the engine, not the generator."""
     amplify = AMPLIFY if amplify is None else amplify
-    path = f"{CORPUS_CACHE}_{os.path.basename(sf_dir.rstrip('/'))}_{amplify}"
+    path = (
+        f"{CORPUS_CACHE}_v{CORPUS_VERSION}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{amplify}"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         amplified_docs(spark, sf_dir, amplify).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

