@@ -61,3 +61,35 @@ def dedup_exact(df: DataFrame, id_col: str = "url", text_col: str = "text") -> D
         .select(id_col)
     )
     return df.join(keep, id_col, "left_semi")
+
+
+def latest_version(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot dedup: keep exactly one row per key — the one with the
+    lexicographically greatest (order_cols...) tuple. The multi-crawl
+    corpus case: ten crawls of one url, keep the newest warc_ts (break ts
+    ties on a unique id column so the winner is deterministic and
+    oracle-replayable).
+
+    Scale shape: a single shuffle on key_cols with MAP-SIDE PARTIAL
+    aggregation (max_by over a struct ordering key). Deliberately NOT the
+    row_number window form — a window sorts every version of every key
+    within each partition; max_by keeps one candidate row per key per map
+    task, so a key with 10^4 crawl snapshots contributes one row per
+    partition to the exchange instead of 10^4 sorted rows.
+    """
+    payload_cols = payload_cols or [
+        c for c in df.columns if c not in key_cols
+    ]
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in payload_cols]),
+        F.struct(*[F.col(c) for c in order_cols]),
+    ).alias("_w")
+    out = df.groupBy(*key_cols).agg(winner)
+    return out.select(
+        *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload_cols]
+    )

@@ -1077,6 +1077,44 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_latest_event_per_user_type(spark, sf_dir):
+    """Snapshot dedup (operators/exact.py latest_version): one row per
+    (user_id, event_type) — the latest by (ts, event_id). The multi-crawl
+    keep-newest-version-per-url pattern, as a partial-aggregatable max_by
+    (one shuffle; no per-key version sort). Deterministic tie-break on
+    event_id makes it oracle-replayable by a SQL window."""
+    from .operators.exact import latest_version
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    out = latest_version(
+        ev,
+        key_cols=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+        payload_cols=["event_id", "ts", "value"],
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("latest_ts"),
+        "value",
+    )
+
+
+SQL_LATEST_EVENT_PER_USER_TYPE = """
+SELECT user_id, event_type, event_id,
+  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS latest_ts, value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # sketch/fingerprint queries — oracled by re-deriving the exact integer
 # semantics in DuckDB SQL (oracle_sql.py): FNV shingles, universal hashing,
@@ -1366,6 +1404,7 @@ QUERIES = {
     "top3_orders_per_customer": q_top3_orders_per_customer,
     "customers_without_orders": q_customers_without_orders,
     "events_hourly": q_events_hourly,
+    "latest_event_per_user_type": q_latest_event_per_user_type,
     "minhash_signatures": q_minhash_signatures,
     "minhash_signatures_kwise": q_minhash_signatures_kwise,
     "minhash_signatures_word": q_minhash_signatures_word,
@@ -1413,6 +1452,7 @@ ORACLE_SQL = {
     "top3_orders_per_customer": SQL_TOP3_ORDERS_PER_CUSTOMER,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "latest_event_per_user_type": SQL_LATEST_EVENT_PER_USER_TYPE,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_signatures_kwise": SQL_MINHASH_SIGNATURES_KWISE,
     "minhash_signatures_word": SQL_MINHASH_SIGNATURES_WORD,

@@ -485,3 +485,34 @@ def test_passage_dup_stats_hash_mode_equals_string_mode(spark):
     assert got == want
     assert 1 in got and got[1][1] > 0  # the fixture actually induces dups
     assert 4 not in got
+
+
+def test_latest_version_semantics_and_plan(spark):
+    """Snapshot dedup keeps exactly the lexicographically-greatest
+    (order_cols) row per key — deterministic on ts ties via the id
+    tiebreaker — and plans as a partial aggregation, NOT a window sort."""
+    from minhash_spark.operators.exact import latest_version
+    from minhash_spark.plans import plan_report
+
+    rows = [
+        # key (1,'a'): ts tie — event 12 must win (higher id)
+        (1, "a", 10, 11, 1.0),
+        (1, "a", 10, 12, 2.0),
+        (1, "a", 9, 99, 3.0),   # older ts, higher id: must lose
+        (2, "a", 5, 1, 4.0),
+        (2, "b", 1, 2, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long, event_id long, value double"
+    )
+    out = latest_version(
+        df, key_cols=["user_id", "event_type"], order_cols=["ts", "event_id"]
+    )
+    got = {
+        (r["user_id"], r["event_type"]): (r["event_id"], r["value"])
+        for r in out.collect()
+    }
+    assert got == {(1, "a"): (12, 2.0), (2, "a"): (1, 4.0), (2, "b"): (2, 5.0)}
+    rep = plan_report(out)
+    assert "Window" not in rep.text  # max_by aggregate, no per-key sort
+    assert "HashAggregate" in rep.text or "SortAggregate" in rep.text
