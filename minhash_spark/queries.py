@@ -1115,6 +1115,58 @@ FROM (
 """
 
 
+# the DuckDB replay of sampling._bucket: parse the 3-char md5 hex prefix
+# positionally (DuckDB has no base-conv function)
+_SQL_MD5_BUCKET = (
+    "(256 * (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1)"
+    " + 16 * (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1)"
+    " + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 3, 1)) - 1))"
+)
+
+_SAMPLE_RATE = 0.25
+
+
+def q_deterministic_sample(spark, sf_dir):
+    """Reproducible corpus sampling (operators/sampling.py): membership is
+    a pure function of the row id (md5 hex-prefix range), identical across
+    runs, partitionings and engines — unlike df.sample, whose seed is only
+    stable per partition layout. Zero shuffle, whole-stage codegen."""
+    from .operators.sampling import deterministic_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return deterministic_sample(d, _SAMPLE_RATE)
+
+
+SQL_DETERMINISTIC_SAMPLE = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE {_SQL_MD5_BUCKET} < {int(round(_SAMPLE_RATE * 4096))}
+"""
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_dataset_split_assignment(spark, sf_dir):
+    """Deterministic train/val/test assignment by id-hash range — the
+    reproducible-split contract a training pipeline needs around
+    dedup/filtering. Row-local JVM expression; a 10^12-doc corpus splits
+    with zero shuffle."""
+    from .operators.sampling import with_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return with_split(d, _SPLITS)
+
+
+_TRAIN_HI = int(round(0.8 * 4096))
+_VAL_HI = _TRAIN_HI + int(round(0.1 * 4096))
+SQL_DATASET_SPLIT_ASSIGNMENT = f"""
+SELECT doc_id,
+  CASE WHEN {_SQL_MD5_BUCKET} < {_TRAIN_HI} THEN 'train'
+       WHEN {_SQL_MD5_BUCKET} < {_VAL_HI} THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # sketch/fingerprint queries — oracled by re-deriving the exact integer
 # semantics in DuckDB SQL (oracle_sql.py): FNV shingles, universal hashing,
@@ -1405,6 +1457,8 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "events_hourly": q_events_hourly,
     "latest_event_per_user_type": q_latest_event_per_user_type,
+    "deterministic_sample": q_deterministic_sample,
+    "dataset_split_assignment": q_dataset_split_assignment,
     "minhash_signatures": q_minhash_signatures,
     "minhash_signatures_kwise": q_minhash_signatures_kwise,
     "minhash_signatures_word": q_minhash_signatures_word,
@@ -1453,6 +1507,8 @@ ORACLE_SQL = {
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "events_hourly": SQL_EVENTS_HOURLY,
     "latest_event_per_user_type": SQL_LATEST_EVENT_PER_USER_TYPE,
+    "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
+    "dataset_split_assignment": SQL_DATASET_SPLIT_ASSIGNMENT,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_signatures_kwise": SQL_MINHASH_SIGNATURES_KWISE,
     "minhash_signatures_word": SQL_MINHASH_SIGNATURES_WORD,

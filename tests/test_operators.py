@@ -516,3 +516,37 @@ def test_latest_version_semantics_and_plan(spark):
     rep = plan_report(out)
     assert "Window" not in rep.text  # max_by aggregate, no per-key sort
     assert "HashAggregate" in rep.text or "SortAggregate" in rep.text
+
+
+def test_deterministic_sampling_and_splits(spark):
+    """Reproducibility contract: membership is a pure function of the id —
+    invariant under repartitioning (where df.sample's seed stability
+    breaks), nested across rates (rate r1 ⊆ rate r2 for r1 < r2), splits
+    disjoint+exhaustive with ~honored weights."""
+    import pytest
+
+    from minhash_spark.operators.sampling import deterministic_sample, with_split
+
+    df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    s1 = {r["doc_id"] for r in deterministic_sample(df, 0.2).collect()}
+    # same ids regardless of partitioning
+    s1b = {
+        r["doc_id"]
+        for r in deterministic_sample(df.repartition(17), 0.2).collect()
+    }
+    assert s1 == s1b
+    # nested: a smaller rate is a subset of a larger one
+    s_small = {r["doc_id"] for r in deterministic_sample(df, 0.05).collect()}
+    assert s_small <= s1
+    # rate roughly honored (4096 strata, 5000 ids → few-% tolerance)
+    assert 0.15 < len(s1) / 5000 < 0.25
+    with pytest.raises(ValueError, match="rate"):
+        deterministic_sample(df, 1.5)
+
+    split = with_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 5000  # exhaustive, no null split
+    assert 0.75 < counts["train"] / 5000 < 0.85
+    with pytest.raises(ValueError, match="sum to 1"):
+        with_split(df, {"a": 0.5, "b": 0.6})
