@@ -221,3 +221,47 @@ def passage_dup_stats(
             F.round(F.col("n_dup_passages") / F.col("n_passages"), 6),
         )
     )
+
+
+# PII scrubbing — the standard web-text redaction pass (emails, IPv4,
+# phone-like digit runs). Patterns restricted to the Java-regex ∩ RE2
+# subset (no lookaround, no backrefs) so the DuckDB oracle replays them
+# verbatim — same discipline as urls.canonicalize_url.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    # international-ish phone: +?digits with separators, 9-15 digits total;
+    # anchored on word boundaries to spare ordinary numbers/ids
+    # leading + matched explicitly — there is no \b between a space and
+    # '+' (both non-word), so \b\+? silently drops the plus
+    ("phone", r"(?:\+|\b)[0-9][0-9() .-]{7,18}[0-9]\b", "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact emails/IPv4s/phone-like runs from a text column — chained
+    JVM regexp_replace, whole-stage codegen, zero shuffle. Order matters:
+    emails first (their local part can contain digits a later phone pass
+    would half-eat), then IPs (dotted digits would otherwise match the
+    phone run), then phones."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """Per-kind redaction counts — the audit signal a scrubbing pass
+    reports per document. Counted SEQUENTIALLY on the progressively
+    scrubbed text (emails on raw, IPs on email-scrubbed, phones on
+    IP-scrubbed), exactly mirroring scrub_pii's replacement order — an
+    IPv4 is digits-and-dots and would otherwise double-count as a
+    phone-like run."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = []
+    for name, pat, repl in PII_PATTERNS:
+        out.append(
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        )
+        c = F.regexp_replace(c, pat, repl)
+    return out

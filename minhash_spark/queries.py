@@ -1156,6 +1156,54 @@ def q_dataset_split_assignment(spark, sf_dir):
     return with_split(d, _SPLITS)
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (operators/text.py scrub_pii): deterministic synthetic
+    PII (an email, an IPv4 and a phone derived from doc_id) is appended to
+    each document, then scrubbed; the query returns per-kind redaction
+    counts and the sha256 of the scrubbed text. The oracle replays the
+    injection and the identical Java∩RE2 regexes in DuckDB — proving the
+    scrubber actually removes what it claims, byte-for-byte."""
+    from .operators.text import pii_counts, scrub_pii
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+        F.lit(" at 10.1."), F.pmod(did, F.lit(256)).cast("string"),
+        F.lit("."), F.pmod(did, F.lit(100)).cast("string"),
+        F.lit(" or +1 555 000 "),
+        (F.lit(1000) + F.pmod(did, F.lit(9000))).cast("string"),
+    )
+    w = d.withColumn("_t", injected)
+    return w.select(
+        "doc_id",
+        *pii_counts("_t"),
+        F.sha2(scrub_pii("_t"), 256).alias("scrubbed_sha"),
+    )
+
+
+_PII_INJECT_SQL = (
+    "text || ' contact user' || doc_id || '@example.com'"
+    " || ' at 10.1.' || (doc_id % 256) || '.' || (doc_id % 100)"
+    " || ' or +1 555 000 ' || (1000 + doc_id % 9000)"
+)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PII_PHONE = r"(?:\+|\b)[0-9][0-9() .-]{7,18}[0-9]\b"
+SQL_PII_SCRUB = f"""
+WITH inj AS (SELECT doc_id, {_PII_INJECT_SQL} AS t FROM documents),
+s1 AS (SELECT doc_id, len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+       regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t FROM inj),
+s2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t, '{_PII_IP}')) AS n_ipv4,
+       regexp_replace(t, '{_PII_IP}', '<IP>', 'g') AS t FROM s1)
+SELECT doc_id, n_email, n_ipv4,
+  len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phone,
+  sha256(regexp_replace(t, '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_sha
+FROM s2
+"""
+
+
 _TRAIN_HI = int(round(0.8 * 4096))
 _VAL_HI = _TRAIN_HI + int(round(0.1 * 4096))
 SQL_DATASET_SPLIT_ASSIGNMENT = f"""
@@ -1459,6 +1507,7 @@ QUERIES = {
     "latest_event_per_user_type": q_latest_event_per_user_type,
     "deterministic_sample": q_deterministic_sample,
     "dataset_split_assignment": q_dataset_split_assignment,
+    "pii_scrub": q_pii_scrub,
     "minhash_signatures": q_minhash_signatures,
     "minhash_signatures_kwise": q_minhash_signatures_kwise,
     "minhash_signatures_word": q_minhash_signatures_word,
@@ -1509,6 +1558,7 @@ ORACLE_SQL = {
     "latest_event_per_user_type": SQL_LATEST_EVENT_PER_USER_TYPE,
     "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
     "dataset_split_assignment": SQL_DATASET_SPLIT_ASSIGNMENT,
+    "pii_scrub": SQL_PII_SCRUB,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_signatures_kwise": SQL_MINHASH_SIGNATURES_KWISE,
     "minhash_signatures_word": SQL_MINHASH_SIGNATURES_WORD,

@@ -550,3 +550,28 @@ def test_deterministic_sampling_and_splits(spark):
     assert 0.75 < counts["train"] / 5000 < 0.85
     with pytest.raises(ValueError, match="sum to 1"):
         with_split(df, {"a": 0.5, "b": 0.6})
+
+
+def test_scrub_pii_semantics(spark):
+    from minhash_spark.operators.text import pii_counts, scrub_pii
+
+    rows = [
+        (1, "mail a.b+tag@sub.example.co.uk now"),
+        (2, "server at 192.168.0.1 and 8.8.8.8"),
+        (3, "call +44 20 7946 0958 or (555) 123-4567"),
+        (4, "no pii here, version 1.2 and year 2024"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["t"], r["n_email"], r["n_ipv4"], r["n_phone"])
+        for r in df.select(
+            "id", scrub_pii("text").alias("t"), *pii_counts("text")
+        ).collect()
+    }
+    assert got[1] == ("mail <EMAIL> now", 1, 0, 0)
+    assert got[2] == ("server at <IP> and <IP>", 0, 2, 0)
+    # the leading "(" is not consumed (the pattern anchors on + or a digit
+    # boundary) — the digits themselves are what must go
+    assert got[3][1:] == (0, 0, 2) and got[3][0] == "call <PHONE> or (<PHONE>"
+    # ordinary short numbers and dotted versions survive
+    assert got[4] == ("no pii here, version 1.2 and year 2024", 0, 0, 0)
