@@ -16,6 +16,7 @@ the pattern for periodic incremental dedup over a landing zone.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -137,6 +138,41 @@ def _effective_store_buckets(store_path: str, requested: int) -> int:
     return requested
 
 
+_MANIFEST = "_bucket_manifest.json"
+
+
+def _write_bucket_manifest(batch_dir: str) -> list[int]:
+    """Record which store_bucket partitions a batch actually wrote, next to
+    the batch's data (one listing of ONE directory at write time — cheap on
+    any filesystem). Readers then prune from the manifest with zero
+    filesystem listing at all: the object-store-friendly form of the
+    explicit-path read (an S3 LIST per batch per micro-batch is exactly the
+    metadata tax the bucketed layout exists to avoid)."""
+    buckets = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(batch_dir)
+        if d.startswith("store_bucket=")
+    )
+    with open(os.path.join(batch_dir, _MANIFEST), "w") as f:
+        json.dump({"store_buckets": buckets}, f)
+    return buckets
+
+
+def _batch_buckets(store_dir: str, batch_dir_name: str) -> list[int]:
+    """Buckets present in one batch directory: manifest if available (no
+    listing), else a directory listing (stores written before manifests)."""
+    batch_dir = os.path.join(store_dir, batch_dir_name)
+    mpath = os.path.join(batch_dir, _MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            return json.load(f)["store_buckets"]
+    return [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(batch_dir)
+        if d.startswith("store_bucket=")
+    ]
+
+
 def _bucket_col(col: str, n_buckets: int):
     """Stable hash bucket for store partitioning. band_key is already an
     xxhash64 value, so a plain pmod spreads it uniformly; other columns get
@@ -173,10 +209,8 @@ def pruned_store_read(
                 continue
             if int(d.split("=", 1)[1]) == epoch_id:
                 continue
-            for b in want:
-                p = os.path.join(store_dir, d, f"store_bucket={b}")
-                if os.path.isdir(p):
-                    paths.append(p)
+            for b in want.intersection(_batch_buckets(store_dir, d)):
+                paths.append(os.path.join(store_dir, d, f"store_bucket={b}"))
     if not paths:
         return spark.read.parquet(store_dir).where(
             (F.col("batch_id") != epoch_id)
@@ -319,6 +353,8 @@ def incremental_dedup_batch(
     ).repartition(F.col("store_bucket")).write.mode("overwrite").partitionBy(
         "store_bucket"
     ).parquet(os.path.join(band_store, f"batch_id={epoch_id}"))
+    _write_bucket_manifest(os.path.join(sig_store, f"batch_id={epoch_id}"))
+    _write_bucket_manifest(os.path.join(band_store, f"batch_id={epoch_id}"))
     batch_sigs.unpersist()
     new_bands.unpersist()
     return verified
