@@ -225,3 +225,61 @@ def test_resume_skips_completed_partitions(spark, corpus, tmp_path_factory):
         runs = [json.loads(line) for line in f]
     assert runs[1]["docs_processed"] == N_PAGES - n_head
     assert runs[1]["resumed_partitions"] == len(head_ds)
+
+
+def test_spark_submit_pyfiles_deployment(tmp_path_factory):
+    """The north-rule deployment shape: run the pipeline via spark-submit
+    --py-files from OUTSIDE the repo — driver and executors import
+    minhash_spark from the zip, not from a checkout."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    import pyspark
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = tmp_path_factory.mktemp("submit")
+    # package zip + entry script copied out of the repo
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import build_pyfiles_zip
+
+    zip_path = str(base / "minhash_spark.zip")
+    assert build_pyfiles_zip.build(zip_path) > 30
+    shutil.copy(os.path.join(repo, "scripts", "run_pipeline.py"), base)
+
+    pages, _, _ = generate_corpus(60, seed=21)
+    pages_dir = str(base / "pages")
+    # write the input with a throwaway local session (pandas → parquet
+    # would need pyarrow dataset layout; reuse the repo writer)
+    from minhash_spark.session import get_spark
+    from minhash_spark.sources.pages import write_pages
+
+    write_pages(get_spark(master="local[2]"), pages, pages_dir)
+
+    submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the only package source
+    out = subprocess.run(
+        [
+            submit,
+            "--master",
+            "local[2]",
+            "--py-files",
+            "minhash_spark.zip",
+            "run_pipeline.py",
+            "--input",
+            "pages",
+            "--output",
+            "out",
+        ],
+        cwd=str(base),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["n_clustered_docs"] > 0 and result["n_pairs"] > 0
