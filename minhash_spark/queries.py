@@ -1156,6 +1156,56 @@ def q_dataset_split_assignment(spark, sf_dir):
     return with_split(d, _SPLITS)
 
 
+def q_probe_store_lookup(spark, sf_dir):
+    """Read-only corpus-membership lookup (streaming/incremental.py
+    probe_store): the documents table is ingested into a temp store, then
+    probed with exact copies under shifted ids at threshold 1.0 — every
+    probe must find exactly its stored original with est_jaccard 1.0 (an
+    est of 1.0 needs all 128 sketch cells equal, and the corpus texts are
+    pairwise distinct). The decontamination-check shape: eval-set texts
+    probed against a training-corpus store."""
+    import shutil
+    import tempfile
+    from dataclasses import replace as dc_replace
+
+    from .streaming.incremental import incremental_dedup_batch, probe_store
+
+    cfg = dc_replace(CFG, jaccard_threshold=1.0)
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("url"), "text"
+    )
+    store = tempfile.mkdtemp(prefix="probe_store_")
+    try:
+        incremental_dedup_batch(spark, d, store, cfg, epoch_id=0).count()
+        probes = d.select((F.col("url") + _SHIFT).alias("url"), "text")
+        out = probe_store(spark, probes, store, cfg).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out.select(
+        F.col("url_a").alias("probe_id"),
+        F.col("url_b").alias("stored_id"),
+        "est_jaccard",
+    )
+
+
+# expected matches: every probe finds its own stored original, PLUS any
+# stored doc whose full sketch is identical to the probe's (distinct texts
+# can share a shingle SET — ~10 such pairs exist at sf0.01; the near-dup
+# SQL at threshold 1.0 derives exactly the sketch-identical pairs)
+SQL_PROBE_STORE_LOOKUP = f"""
+WITH dup AS (
+  SELECT * FROM ({oracle_sql.near_dup_pairs_sql(CFG, threshold=1.0)}) q
+)
+SELECT doc_id + {_SHIFT} AS probe_id, doc_id AS stored_id,
+  1.0::DOUBLE AS est_jaccard
+FROM documents
+UNION ALL
+SELECT id_a + {_SHIFT}, id_b, 1.0::DOUBLE FROM dup
+UNION ALL
+SELECT id_b + {_SHIFT}, id_a, 1.0::DOUBLE FROM dup
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (operators/text.py scrub_pii): deterministic synthetic
     PII (an email, an IPv4 and a phone derived from doc_id) is appended to
@@ -1508,6 +1558,7 @@ QUERIES = {
     "deterministic_sample": q_deterministic_sample,
     "dataset_split_assignment": q_dataset_split_assignment,
     "pii_scrub": q_pii_scrub,
+    "probe_store_lookup": q_probe_store_lookup,
     "minhash_signatures": q_minhash_signatures,
     "minhash_signatures_kwise": q_minhash_signatures_kwise,
     "minhash_signatures_word": q_minhash_signatures_word,
@@ -1559,6 +1610,7 @@ ORACLE_SQL = {
     "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
     "dataset_split_assignment": SQL_DATASET_SPLIT_ASSIGNMENT,
     "pii_scrub": SQL_PII_SCRUB,
+    "probe_store_lookup": SQL_PROBE_STORE_LOOKUP,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_signatures_kwise": SQL_MINHASH_SIGNATURES_KWISE,
     "minhash_signatures_word": SQL_MINHASH_SIGNATURES_WORD,

@@ -358,3 +358,72 @@ def incremental_dedup_batch(
     batch_sigs.unpersist()
     new_bands.unpersist()
     return verified
+
+
+def probe_store(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    store_path: str,
+    cfg: DedupConfig | None = None,
+) -> DataFrame:
+    """READ-ONLY near-dup lookup against an accumulated store: which stored
+    documents is each probe document a near-duplicate of? Returns
+    (url_a = probe url, url_b = stored url, est_jaccard); the store is not
+    modified — the "is this already in my corpus?" API, e.g. an ingest
+    gate or an eval-set decontamination check against a training corpus.
+
+    Same pruned-read machinery as incremental_dedup_batch (touched-bucket
+    manifests, O(touched) store scan), minus the intra-batch pair leg and
+    minus the store writes."""
+    cfg = cfg or DedupConfig()
+    sig_store, band_store = _store_subdirs(store_path)
+    if not _has_batches(band_store):
+        raise ValueError(f"probe_store: {store_path} has no batches to probe")
+    n_store_buckets = _effective_store_buckets(store_path, 0)
+
+    batch_sigs = with_minhash_signature(
+        batch_df.select("url", "text"), cfg, packed=True
+    ).select("url", "minhash").persist()
+    new_bands = bands_table(batch_sigs, cfg)
+    touched = [
+        r[0]
+        for r in new_bands.select(
+            _bucket_col("band_key", n_store_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    # epoch -1: no batch is excluded — probes read the whole (pruned) store
+    prev_bands = pruned_store_read(spark, band_store, -1, touched)
+    joined = (
+        new_bands.select("band_key", F.col("url").alias("url_a"))
+        .join(
+            prev_bands.select("band_key", F.col("url").alias("url_b")),
+            ["band_key"],
+        )
+        .where(F.col("url_a") != F.col("url_b"))
+        .groupBy("url_a", "url_b")
+        .agg(F.count("*").alias("n_bands"))
+        .where(F.col("n_bands") >= cfg.min_band_matches)
+        .drop("n_bands")
+    ).localCheckpoint()
+
+    touched_urls = [
+        r[0]
+        for r in joined.select(
+            _bucket_col("url_b", n_store_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    prev_sigs = pruned_store_read(spark, sig_store, -1, touched_urls).select(
+        "url", "minhash"
+    )
+    # a probe url may also exist IN the store (re-checking a known doc):
+    # the probe's current signature is authoritative, and a url must appear
+    # once in the sig table or the verify joins would duplicate its pairs
+    prev_sigs = prev_sigs.join(batch_sigs.select("url"), "url", "left_anti")
+    all_sigs = prev_sigs.unionByName(batch_sigs)
+    out = verify_pairs(joined, all_sigs, cfg)
+    batch_sigs.unpersist()
+    return out

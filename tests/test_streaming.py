@@ -286,3 +286,52 @@ def test_store_reads_stay_bounded_as_store_grows(tmp_path_factory, spark):
     # trend toward full scans
     assert all(f <= frac_bound for f in fractions), fractions
     assert fractions[-1] <= 1.5 * max(fractions[0], 1e-9) + 0.05, fractions
+
+
+def test_probe_store_read_only_lookup(tmp_path_factory, spark):
+    """probe_store answers "is this document already in the corpus?"
+    without touching the store: known/near-dup probes hit their stored
+    counterparts, novel probes return nothing, re-probing an ALREADY
+    STORED url doesn't duplicate pairs, and the store bytes stay
+    untouched."""
+    import os
+
+    from minhash_spark.streaming import probe_store
+
+    store = str(tmp_path_factory.mktemp("probe") / "store")
+    pages, _, _ = generate_corpus(200, seed=31)
+    df = spark.createDataFrame(pages).select("url", "text")
+    incremental_dedup_batch(spark, df, store, CFG, epoch_id=0).count()
+
+    def snapshot(path):
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    before = snapshot(store)
+    one = df.limit(1).collect()[0]
+    probes = spark.createDataFrame(
+        [
+            ("probe_same", one["text"]),          # exact copy of a stored doc
+            (one["url"], one["text"]),            # the stored url itself
+            ("probe_novel", "completely different words nothing shared qq zz"),
+        ],
+        ["url", "text"],
+    )
+    got = probe_store(spark, probes, store, CFG).collect()
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r["url_a"], []).append((r["url_b"], r["est_jaccard"]))
+    # the exact copy finds its stored counterpart at est 1.0
+    assert (one["url"], 1.0) in by_probe.get("probe_same", []), by_probe
+    # re-probing the stored url: pairs appear ONCE each (no sig-table dup)
+    if one["url"] in by_probe:
+        pairs = by_probe[one["url"]]
+        assert len(pairs) == len(set(pairs))
+    # the novel probe matches nothing
+    assert "probe_novel" not in by_probe
+    # read-only: no file added, removed, or rewritten
+    assert snapshot(store) == before
