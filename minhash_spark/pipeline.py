@@ -101,7 +101,24 @@ class DedupPipeline:
 
         done_ds: list[str] = []
         if resume and _exists(out):
-            done = self.spark.read.parquet(out).select("ds").distinct()
+            existing = self.spark.read.parquet(out)
+            # format guard BEFORE appending: this build writes the packed
+            # little-endian int32 BinaryType signature; a signatures dir
+            # written by the pre-packed build carries array<int>. Appending
+            # would mix two incompatible parquet schemas for one column and
+            # break compute_pairs' read / verify's dtype-based estimator —
+            # the same failure the incremental store's _store_meta.json
+            # sig_format check prevents (streaming/incremental.py).
+            existing_type = existing.schema["minhash"].dataType.simpleString()
+            if existing_type != "binary":
+                raise ValueError(
+                    f"signatures at {out} carry minhash as {existing_type!r}, "
+                    "but this build writes packed 'binary' signatures. "
+                    "Resuming would mix incompatible schemas in one dataset — "
+                    "delete the signatures directory (or the whole out_dir) "
+                    "and rebuild."
+                )
+            done = existing.select("ds").distinct()
             done_ds = [r["ds"] for r in done.collect()]
             if done_ds:
                 src = src.join(F.broadcast(done), "ds", "left_anti")

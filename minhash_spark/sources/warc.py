@@ -46,6 +46,50 @@ _CRLF = b"\r\n"
 # parsing
 # --------------------------------------------------------------------------
 
+# no ^ anchor: Pattern.match(data, pos) anchors at pos itself (a ^ would
+# only match at pos 0 / after a newline in MULTILINE mode)
+_VERSION_RE = re.compile(rb"WARC/\d+(\.\d+)?\r\n")
+# RFC 7230 token characters for a header field name
+_HEADER_LINE_RE = re.compile(rb"^[!#$%&'*+.^_`|~0-9A-Za-z-]+:")
+
+
+def _looks_like_record(data: bytes, cand: int) -> bool:
+    """True if `cand` plausibly begins a REAL WARC record: an exact
+    ``WARC/<version>\\r\\n`` line followed by a header block (every line a
+    ``name: value`` header, terminated by a blank line) that carries a
+    numeric Content-Length. Prose that merely mentions 'WARC/1.0' fails
+    this — its following lines are not all header-shaped."""
+    m = _VERSION_RE.match(data, cand)
+    if not m:
+        return False
+    hdr_end = data.find(_CRLF + _CRLF, cand)
+    if hdr_end < 0:
+        return False
+    lines = data[m.end() : hdr_end].split(_CRLF)
+    if not lines or not all(_HEADER_LINE_RE.match(ln) for ln in lines):
+        return False
+    headers = {}
+    for ln in lines:
+        k, v = ln.split(b":", 1)
+        headers[k.strip().lower()] = v.strip()
+    return headers.get(b"content-length", b"").isdigit()
+
+
+def _find_record_boundary(data: bytes, start: int) -> int:
+    """Next offset that plausibly begins a real WARC record (validated by
+    `_looks_like_record`, not just the magic bytes — a payload that happens
+    to contain the text 'WARC/1.0' must not be resynced into a bogus record
+    whose fabricated headers/payload would enter the corpus). -1 if none."""
+    pos = start
+    while True:
+        cand = data.find(b"WARC/", pos)
+        if cand < 0:
+            return -1
+        pos = cand + 1
+        if _looks_like_record(data, cand):
+            return cand
+
+
 def parse_warc(data: bytes, errors_out: list | None = None) -> list[dict]:
     """Parse a WARC archive (plain or gzipped bytes) into a list of dicts:
     {url, warc_ts (datetime|None), record_type, payload (bytes)}. Only
@@ -75,9 +119,14 @@ def parse_warc(data: bytes, errors_out: list | None = None) -> list[dict]:
         if pos >= n:
             break
         if not data.startswith(b"WARC/", pos):
-            # garbage between records: resync at the next record magic
+            # garbage between records: resync at the next record BOUNDARY,
+            # not at any 'WARC/' substring — a payload that merely mentions
+            # 'WARC/1.0' (an HTTP body discussing WARC) must not be resynced
+            # into a bogus record with fabricated headers. A candidate must
+            # sit at start-of-line AND its header block must actually parse
+            # (version line + a Content-Length header before the blank line).
             _err()
-            nxt = data.find(b"WARC/", pos + 1)
+            nxt = _find_record_boundary(data, pos + 1)
             if nxt < 0:
                 break
             pos = nxt

@@ -90,12 +90,16 @@ def _has_batches(path: str) -> bool:
     )
 
 
-def _effective_store_buckets(store_path: str, requested: int) -> int:
+def _effective_store_buckets(store_path: str, requested: int | None) -> int:
     """The store's bucket count is a property of its on-disk LAYOUT: every
     batch must hash with the same modulus or later reads would prune to the
     wrong directories and silently MISS candidates. The first batch writes
     `_store_meta.json`; afterwards the persisted value wins over the
-    argument (a mismatch is logged, not fatal — the store knows best)."""
+    argument (a mismatch is logged, not fatal — the store knows best).
+
+    `requested=None` is the READ-ONLY lookup path (probe_store): the caller
+    has no opinion about the layout, so the stored value is returned with no
+    mismatch warning; a store with no meta cannot be probed."""
     import json
     import logging
 
@@ -126,13 +130,18 @@ def _effective_store_buckets(store_path: str, requested: int) -> int:
                 f"format {meta.get('sig_format')!r}; this build writes "
                 f"{_SIG_FORMAT!r}. Rebuild the store."
             )
-        if stored != requested:
+        if requested is not None and stored != requested:
             logging.getLogger(__name__).warning(
                 "incremental store %s was created with n_store_buckets=%d; "
                 "ignoring requested %d (the layout is fixed at creation)",
                 store_path, stored, requested,
             )
         return stored
+    if requested is None:
+        raise ValueError(
+            f"incremental store {store_path} has no _store_meta.json — "
+            "nothing to probe (read-only lookups need an existing store)"
+        )
     with open(meta_path, "w") as f:
         json.dump({"n_store_buckets": requested, "sig_format": _SIG_FORMAT}, f)
     return requested
@@ -379,7 +388,7 @@ def probe_store(
     sig_store, band_store = _store_subdirs(store_path)
     if not _has_batches(band_store):
         raise ValueError(f"probe_store: {store_path} has no batches to probe")
-    n_store_buckets = _effective_store_buckets(store_path, 0)
+    n_store_buckets = _effective_store_buckets(store_path, None)
 
     batch_sigs = with_minhash_signature(
         batch_df.select("url", "text"), cfg, packed=True

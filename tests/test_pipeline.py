@@ -283,3 +283,31 @@ def test_spark_submit_pyfiles_deployment(tmp_path_factory):
     assert out.returncode == 0, out.stderr[-2000:]
     result = json.loads(out.stdout.strip().splitlines()[-1])
     assert result["n_clustered_docs"] > 0 and result["n_pairs"] > 0
+
+
+def test_resume_refuses_legacy_array_signature_format(
+    spark, corpus, tmp_path_factory
+):
+    """ADVICE r4 (medium): resuming into a signatures dir written by the
+    pre-packed build (minhash as array<int>) must FAIL FAST, not append a
+    second incompatible parquet schema for the same column."""
+    pages, _, _ = corpus
+    out_dir = str(tmp_path_factory.mktemp("legacyfmt"))
+    df = spark.createDataFrame(pages).withColumn(
+        "ds", F.date_format("warc_ts", "yyyy-MM-dd")
+    )
+    some_ds = df.select("ds").distinct().limit(1).collect()[0]["ds"]
+    # simulate a legacy partial run: array<int> minhash column
+    legacy = (
+        df.where(F.col("ds") == some_ds)
+        .select("url", "ds")
+        .withColumn("minhash", F.array(F.lit(1), F.lit(2)))
+    )
+    legacy.write.partitionBy("ds").parquet(f"{out_dir}/signatures")
+
+    pipe = DedupPipeline(spark, CFG, out_dir)
+    with pytest.raises(ValueError, match="packed 'binary'"):
+        pipe.compute_signatures(df)
+    # nothing was appended: the legacy dir still holds only the legacy rows
+    got = spark.read.parquet(f"{out_dir}/signatures")
+    assert got.schema["minhash"].dataType.simpleString() != "binary"

@@ -335,3 +335,27 @@ def test_probe_store_read_only_lookup(tmp_path_factory, spark):
     assert "probe_novel" not in by_probe
     # read-only: no file added, removed, or rewritten
     assert snapshot(store) == before
+
+
+def test_probe_store_logs_no_bucket_mismatch_warning(tmp_path_factory, spark, caplog):
+    """ADVICE r4 (low): the read-only probe path passes requested=None to
+    _effective_store_buckets, so probing must NOT emit the spurious
+    'created with n_store_buckets=N; ignoring requested 0' warning."""
+    import logging
+
+    from minhash_spark.streaming import probe_store
+
+    store = str(tmp_path_factory.mktemp("probewarn") / "store")
+    pages, _, _ = generate_corpus(50, seed=7)
+    df = spark.createDataFrame(pages).select("url", "text")
+    incremental_dedup_batch(spark, df, store, CFG, epoch_id=0).count()
+
+    with caplog.at_level(logging.WARNING, logger="minhash_spark.streaming.incremental"):
+        probe_store(spark, df.limit(2), store, CFG).count()
+    assert not [r for r in caplog.records if "n_store_buckets" in r.getMessage()]
+
+    # and probing a non-store path fails with a clear message
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no batches to probe"):
+        probe_store(spark, df.limit(1), str(tmp_path_factory.mktemp("empty")), CFG)

@@ -107,3 +107,32 @@ def test_read_warc_spark(spark, tmp_path_factory):
     sigs = with_minhash_signature(df.select("url", "text"), DedupConfig())
     got = sigs.select("url", "minhash").collect()
     assert len(got) == 3 and all(len(r["minhash"]) == 128 for r in got)
+
+
+def test_resync_not_fooled_by_warc_mention_in_garbage():
+    # ADVICE r4: broken framing followed by garbage whose TEXT contains
+    # 'WARC/1.0' (e.g. an HTTP body discussing the WARC format) must not be
+    # resynced into a bogus record — the candidate's header block does not
+    # parse, so the scanner skips it and recovers at the REAL next record.
+    good = _archive(False)
+    prose = (
+        b"\x00\xffbroken"
+        b"See the WARC/1.0\r\nspecification for details. It is great.\r\n"
+        b"WARC/1.0\r\nnot a header line at all\r\n\r\n"
+    )
+    errs: list = []
+    recs = parse_warc(prose + good, errs)
+    assert [r["url"] for r in recs] == [
+        "https://a.example.com/x",
+        "https://b.example.com/y",
+    ]
+    assert len(errs) == 1  # exactly one resync skip over ALL the prose
+
+    # a fabricated header block whose Content-Length would SWALLOW the real
+    # record is rejected because its following line is not header-shaped
+    trap = b"\x00junk WARC/1.0\r\nContent-Length: 99999\r\nplain prose\r\n\r\n"
+    recs2 = parse_warc(trap + good)
+    assert [r["url"] for r in recs2] == [
+        "https://a.example.com/x",
+        "https://b.example.com/y",
+    ]
