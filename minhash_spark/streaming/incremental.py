@@ -149,37 +149,158 @@ def _effective_store_buckets(store_path: str, requested: int | None) -> int:
 
 _MANIFEST = "_bucket_manifest.json"
 
+# ---- key-level manifest Bloom filters --------------------------------------
+# Bucket-level (directory) pruning cannot help a batch whose band keys touch
+# every store bucket: directory pruning excludes nothing and the batch-vs-
+# store join input grows O(store). These per-(batch, bucket) Bloom filters
+# over the partition's KEY SET prune INSIDE touched buckets: a store
+# partition is read only if at least one of the micro-batch's keys may be
+# present in it. This is the Spark analog of the reference's merge-
+# amortization knob `b` (src/parallel/minhash-concurrent.c:494-506) applied
+# to reads — stale store regions the new data cannot collide with are never
+# scanned. Bloom filters have NO false negatives, so pruning can never drop
+# a real candidate; false positives only cost an extra partition read.
+_BLOOM_K = 4  # probes per key
+_BLOOM_BITS_PER_KEY = 24  # → fill ≈ 0.15 at k=4 → fpp ≈ 5e-4 per key test
+_BLOOM_MIN_BITS = 1024
+# driver-side cap on collected (bucket, key) rows for read-time probing;
+# past it the batch is "wide" and key pruning degrades to bucket pruning
+_KEY_PRUNE_MAX_KEYS = 1 << 18
 
-def _write_bucket_manifest(batch_dir: str) -> list[int]:
+
+def _bloom_m_bits(n_keys: int) -> int:
+    m = _BLOOM_MIN_BITS
+    while m < n_keys * _BLOOM_BITS_PER_KEY:
+        m <<= 1
+    return m
+
+
+def _bloom_positions(keys_u64, m: int):
+    """(n, k) bit positions via splitmix64 double hashing — pure-numpy and
+    deterministic, so the write-side builder (executor pandas UDF) and the
+    read-side prober (driver) agree bit-for-bit."""
+    import numpy as np
+
+    def mix(x, c):
+        x = x + np.uint64(c)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return x
+
+    keys_u64 = np.asarray(keys_u64, dtype=np.uint64)
+    h1 = mix(keys_u64, 0x9E3779B97F4A7C15)
+    h2 = mix(keys_u64, 0xD1B54A32D192ED03) | np.uint64(1)
+    i = np.arange(_BLOOM_K, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(m - 1)
+
+
+def _bloom_build(keys_u64, m: int):
+    import numpy as np
+
+    bitmap = np.zeros(m // 8, dtype=np.uint8)
+    pos = _bloom_positions(keys_u64, m).ravel()
+    np.bitwise_or.at(bitmap, pos >> np.uint64(3), (1 << (pos & np.uint64(7))).astype(np.uint8))
+    return bitmap
+
+
+def _bloom_maybe_any(bitmap, m: int, keys_u64) -> bool:
+    """True iff AT LEAST ONE key may be present (all k bits set for it)."""
+    import numpy as np
+
+    pos = _bloom_positions(keys_u64, m)
+    bits = (bitmap[(pos >> np.uint64(3)).astype(np.int64)] >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+    return bool(bits.all(axis=1).any())
+
+
+_BLOOM_ROW_SCHEMA = "store_bucket int, n long, m long, bits binary"
+
+
+def _bucket_blooms(df_bucketed: DataFrame, key_col: str) -> dict[str, dict]:
+    """One Bloom filter per store_bucket over the partition's distinct int64
+    keys, built distributively (groupBy + applyInPandas: executors see the
+    keys they are about to write; the driver collects only one ~m/8-byte row
+    per bucket — bounded by the store layout, not the batch size)."""
+    import base64
+
+    import numpy as np
+    import pandas as pd
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(pdf["k"].to_numpy(dtype=np.int64).view(np.uint64))
+        m = _bloom_m_bits(len(keys))
+        return pd.DataFrame(
+            {
+                "store_bucket": [int(pdf["store_bucket"].iloc[0])],
+                "n": [len(keys)],
+                "m": [m],
+                "bits": [_bloom_build(keys, m).tobytes()],
+            }
+        )
+
+    rows = (
+        df_bucketed.select("store_bucket", F.col(key_col).alias("k"))
+        .groupBy("store_bucket")
+        .applyInPandas(build, _BLOOM_ROW_SCHEMA)
+        .collect()
+    )
+    return {
+        str(r["store_bucket"]): {
+            "n": int(r["n"]),
+            "m": int(r["m"]),
+            "bits": base64.b64encode(bytes(r["bits"])).decode(),
+        }
+        for r in rows
+    }
+
+
+def _write_bucket_manifest(
+    batch_dir: str, blooms: dict[str, dict] | None = None
+) -> list[int]:
     """Record which store_bucket partitions a batch actually wrote, next to
     the batch's data (one listing of ONE directory at write time — cheap on
     any filesystem). Readers then prune from the manifest with zero
     filesystem listing at all: the object-store-friendly form of the
     explicit-path read (an S3 LIST per batch per micro-batch is exactly the
-    metadata tax the bucketed layout exists to avoid)."""
+    metadata tax the bucketed layout exists to avoid). `blooms` additionally
+    records a per-bucket key Bloom filter enabling KEY-LEVEL pruning inside
+    touched buckets (see the module-level Bloom notes)."""
     buckets = sorted(
         int(d.split("=", 1)[1])
         for d in os.listdir(batch_dir)
         if d.startswith("store_bucket=")
     )
+    payload: dict = {"store_buckets": buckets}
+    if blooms:
+        payload["bloom_k"] = _BLOOM_K
+        payload["blooms"] = blooms
     with open(os.path.join(batch_dir, _MANIFEST), "w") as f:
-        json.dump({"store_buckets": buckets}, f)
+        json.dump(payload, f)
     return buckets
 
 
-def _batch_buckets(store_dir: str, batch_dir_name: str) -> list[int]:
-    """Buckets present in one batch directory: manifest if available (no
-    listing), else a directory listing (stores written before manifests)."""
+def _batch_manifest(store_dir: str, batch_dir_name: str) -> dict:
+    """Manifest dict for one batch directory: the stored manifest if
+    available (no listing), else a synthesized {store_buckets} from a
+    directory listing (stores written before manifests — no blooms)."""
     batch_dir = os.path.join(store_dir, batch_dir_name)
     mpath = os.path.join(batch_dir, _MANIFEST)
     if os.path.exists(mpath):
         with open(mpath) as f:
-            return json.load(f)["store_buckets"]
-    return [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(batch_dir)
-        if d.startswith("store_bucket=")
-    ]
+            return json.load(f)
+    return {
+        "store_buckets": [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(batch_dir)
+            if d.startswith("store_bucket=")
+        ]
+    }
+
+
+def _batch_buckets(store_dir: str, batch_dir_name: str) -> list[int]:
+    return _batch_manifest(store_dir, batch_dir_name)["store_buckets"]
 
 
 def _bucket_col(col: str, n_buckets: int):
@@ -190,8 +311,38 @@ def _bucket_col(col: str, n_buckets: int):
     return F.pmod(c, F.lit(n_buckets)).cast("int")
 
 
+def _collect_key_filter(
+    df: DataFrame, bucket_expr, key_expr, cap: int = _KEY_PRUNE_MAX_KEYS
+) -> dict[int, "object"] | None:
+    """Driver-side {bucket: uint64 key array} of the batch's distinct
+    (bucket, key) pairs, for Bloom probing of store partitions. Returns None
+    when the batch is too wide to collect (> cap distinct keys) — callers
+    then fall back to bucket-level pruning only. The collect is explicitly
+    bounded: ≤ cap rows of (int, long)."""
+    import numpy as np
+
+    pairs = df.select(
+        bucket_expr.alias("__b"), key_expr.alias("__k")
+    ).distinct()
+    # limit(cap+1) bounds the size check itself — no full count of a wide
+    # batch's key set just to learn it is too big
+    rows = pairs.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    out: dict[int, list] = {}
+    for r in rows:
+        out.setdefault(int(r["__b"]), []).append(r["__k"])
+    return {
+        b: np.array(ks, dtype=np.int64).view(np.uint64) for b, ks in out.items()
+    }
+
+
 def pruned_store_read(
-    spark: SparkSession, store_dir: str, epoch_id: int, touched_buckets: list[int]
+    spark: SparkSession,
+    store_dir: str,
+    epoch_id: int,
+    touched_buckets: list[int],
+    key_filter: dict[int, "object"] | None = None,
 ) -> DataFrame:
     """Read a bucketed store side (`<store>/bands` or `<store>/signatures`)
     pruned to (a) batches other than `epoch_id` (a failed previous attempt of
@@ -209,18 +360,60 @@ def pruned_store_read(
     Iceberg manifest lookup). df.inputFiles() on the result shows exactly
     the touched files. Falls back to the filtered root read when no touched
     directory exists yet (rare; also keeps the right schema for the empty
-    result)."""
+    result).
+
+    With `key_filter` ({bucket: uint64 key array} of the batch's keys), a
+    touched partition is additionally Bloom-probed against its manifest's
+    per-bucket key filter and skipped when NO batch key can be present —
+    key-level pruning inside touched buckets, the piece bucket pruning
+    cannot provide when a wide batch touches every bucket. Partitions whose
+    manifests predate blooms are kept unconditionally (no false pruning)."""
+    import base64
+
+    import numpy as np
+
     want = {int(b) for b in touched_buckets}
-    paths = []
+    paths: list[str] = []
+    bloom_pruned: list[str] = []
     if os.path.isdir(store_dir):
         for d in os.listdir(store_dir):
             if not d.startswith("batch_id="):
                 continue
             if int(d.split("=", 1)[1]) == epoch_id:
                 continue
-            for b in want.intersection(_batch_buckets(store_dir, d)):
-                paths.append(os.path.join(store_dir, d, f"store_bucket={b}"))
+            man = _batch_manifest(store_dir, d)
+            blooms = man.get("blooms") or {}
+            for b in want.intersection(man["store_buckets"]):
+                path = os.path.join(store_dir, d, f"store_bucket={b}")
+                if key_filter is not None and str(b) in blooms:
+                    keys = key_filter.get(b)
+                    info = blooms[str(b)]
+                    if (
+                        keys is None
+                        or not len(keys)
+                        or not _bloom_maybe_any(
+                            np.frombuffer(
+                                base64.b64decode(info["bits"]), dtype=np.uint8
+                            ),
+                            int(info["m"]),
+                            keys,
+                        )
+                    ):
+                        # no batch key can be in this partition
+                        bloom_pruned.append(path)
+                        continue
+                paths.append(path)
     if not paths:
+        if bloom_pruned:
+            # every bucket-matching partition was Bloom-rejected: the join
+            # result is provably empty — return an empty frame with the
+            # store schema (one footer read) instead of falling back to a
+            # whole-store root read that would defeat the pruning
+            return (
+                spark.read.option("basePath", store_dir)
+                .parquet(bloom_pruned[0])
+                .limit(0)
+            )
         return spark.read.parquet(store_dir).where(
             (F.col("batch_id") != epoch_id)
             & F.col("store_bucket").isin(list(want))
@@ -272,18 +465,33 @@ def incremental_dedup_batch(
 
     all_sigs = batch_sigs
     prev_bands = None
+    batch_is_narrow = False
     if _has_batches(sig_store):
-        touched_band_buckets = [
-            r[0]
-            for r in new_bands.select(
-                _bucket_col("band_key", n_store_buckets).alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
-        prev_bands = pruned_store_read(
-            spark, band_store, epoch_id, touched_band_buckets
+        # key-level pruning: collect the batch's distinct (bucket, band_key)
+        # pairs (bounded by _KEY_PRUNE_MAX_KEYS) and Bloom-probe each store
+        # partition's manifest — partitions that contain NONE of the batch's
+        # band keys are never read. A wide batch (> cap keys) falls back to
+        # bucket-level pruning (where it touches everything anyway).
+        band_keys = _collect_key_filter(
+            new_bands, _bucket_col("band_key", n_store_buckets), F.col("band_key")
         )
+        if band_keys is not None:
+            batch_is_narrow = True
+            prev_bands = pruned_store_read(
+                spark, band_store, epoch_id, list(band_keys), band_keys
+            )
+        else:
+            touched_band_buckets = [
+                r[0]
+                for r in new_bands.select(
+                    _bucket_col("band_key", n_store_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            prev_bands = pruned_store_read(
+                spark, band_store, epoch_id, touched_band_buckets
+            )
 
     # candidates restricted to pairs touching the new batch, in two legs so
     # each band collision is counted exactly once (the batch candidate_pairs
@@ -302,8 +510,11 @@ def incremental_dedup_batch(
         .select("url_a", "url_b")
     )
     if prev_bands is not None:
+        # a narrow batch side is broadcast: the (Bloom-surviving) store
+        # partitions stream through the join with no shuffle of the store
+        batch_side = F.broadcast(batch_a) if batch_is_narrow else batch_a
         store_collisions = (
-            batch_a.join(
+            batch_side.join(
                 prev_bands.select("band_key", F.col("url").alias("url_b")),
                 ["band_key"],
             )
@@ -327,23 +538,35 @@ def incremental_dedup_batch(
     if prev_bands is not None:
         # verification only needs the signatures of candidate members — prune
         # the signature-store scan to the url hash buckets the candidates
-        # touch (same partition-directory pruning as the band side)
-        touched_url_buckets = [
-            r[0]
-            for r in joined.select(
-                F.explode(
-                    F.array(
-                        _bucket_col("url_a", n_store_buckets),
-                        _bucket_col("url_b", n_store_buckets),
-                    )
-                ).alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
-        prev_sigs = pruned_store_read(
-            spark, sig_store, epoch_id, touched_url_buckets
+        # touch, Bloom-refined to partitions that may actually HOLD one of
+        # the candidate urls (key = xxhash64(url), same derivation as the
+        # write-side manifest blooms)
+        url_keys = _collect_key_filter(
+            joined.select(F.explode(F.array("url_a", "url_b")).alias("u")),
+            _bucket_col("u", n_store_buckets),
+            F.xxhash64("u"),
         )
+        if url_keys is not None:
+            prev_sigs = pruned_store_read(
+                spark, sig_store, epoch_id, list(url_keys), url_keys
+            )
+        else:
+            touched_url_buckets = [
+                r[0]
+                for r in joined.select(
+                    F.explode(
+                        F.array(
+                            _bucket_col("url_a", n_store_buckets),
+                            _bucket_col("url_b", n_store_buckets),
+                        )
+                    ).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            prev_sigs = pruned_store_read(
+                spark, sig_store, epoch_id, touched_url_buckets
+            )
         all_sigs = prev_sigs.select("url", "minhash").unionByName(batch_sigs)
     verified = verify_pairs(joined, all_sigs, cfg)
 
@@ -352,18 +575,35 @@ def incremental_dedup_batch(
     # writer per touched bucket — at thousands of store buckets that is
     # tasks×buckets small files per batch (measured 5× slower batches at
     # 1024 buckets), and at corpus scale a metadata explosion.
-    batch_sigs.withColumn(
+    sig_out = batch_sigs.withColumn(
         "store_bucket", _bucket_col("url", n_store_buckets)
-    ).repartition(F.col("store_bucket")).write.mode("overwrite").partitionBy(
-        "store_bucket"
-    ).parquet(os.path.join(sig_store, f"batch_id={epoch_id}"))
-    new_bands.withColumn(
+    )
+    sig_out.repartition(F.col("store_bucket")).write.mode(
+        "overwrite"
+    ).partitionBy("store_bucket").parquet(
+        os.path.join(sig_store, f"batch_id={epoch_id}")
+    )
+    band_out = new_bands.withColumn(
         "store_bucket", _bucket_col("band_key", n_store_buckets)
-    ).repartition(F.col("store_bucket")).write.mode("overwrite").partitionBy(
-        "store_bucket"
-    ).parquet(os.path.join(band_store, f"batch_id={epoch_id}"))
-    _write_bucket_manifest(os.path.join(sig_store, f"batch_id={epoch_id}"))
-    _write_bucket_manifest(os.path.join(band_store, f"batch_id={epoch_id}"))
+    )
+    band_out.repartition(F.col("store_bucket")).write.mode(
+        "overwrite"
+    ).partitionBy("store_bucket").parquet(
+        os.path.join(band_store, f"batch_id={epoch_id}")
+    )
+    # per-bucket key Bloom filters into the manifests: one extra pass over
+    # the (persisted) batch per side — the write-time cost that buys the
+    # key-level read pruning above for every later batch and probe
+    _write_bucket_manifest(
+        os.path.join(sig_store, f"batch_id={epoch_id}"),
+        _bucket_blooms(
+            sig_out.select("store_bucket", F.xxhash64("url").alias("k")), "k"
+        ),
+    )
+    _write_bucket_manifest(
+        os.path.join(band_store, f"batch_id={epoch_id}"),
+        _bucket_blooms(band_out.select("store_bucket", "band_key"), "band_key"),
+    )
     batch_sigs.unpersist()
     new_bands.unpersist()
     return verified
@@ -394,16 +634,25 @@ def probe_store(
         batch_df.select("url", "text"), cfg, packed=True
     ).select("url", "minhash").persist()
     new_bands = bands_table(batch_sigs, cfg)
-    touched = [
-        r[0]
-        for r in new_bands.select(
-            _bucket_col("band_key", n_store_buckets).alias("b")
+    # epoch -1: no batch is excluded — probes read the whole (pruned) store;
+    # key-level Bloom pruning applies exactly as in ingest
+    band_keys = _collect_key_filter(
+        new_bands, _bucket_col("band_key", n_store_buckets), F.col("band_key")
+    )
+    if band_keys is not None:
+        prev_bands = pruned_store_read(
+            spark, band_store, -1, list(band_keys), band_keys
         )
-        .distinct()
-        .collect()
-    ]
-    # epoch -1: no batch is excluded — probes read the whole (pruned) store
-    prev_bands = pruned_store_read(spark, band_store, -1, touched)
+    else:
+        touched = [
+            r[0]
+            for r in new_bands.select(
+                _bucket_col("band_key", n_store_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        prev_bands = pruned_store_read(spark, band_store, -1, touched)
     joined = (
         new_bands.select("band_key", F.col("url").alias("url_a"))
         .join(
@@ -417,17 +666,24 @@ def probe_store(
         .drop("n_bands")
     ).localCheckpoint()
 
-    touched_urls = [
-        r[0]
-        for r in joined.select(
-            _bucket_col("url_b", n_store_buckets).alias("b")
-        )
-        .distinct()
-        .collect()
-    ]
-    prev_sigs = pruned_store_read(spark, sig_store, -1, touched_urls).select(
-        "url", "minhash"
+    url_keys = _collect_key_filter(
+        joined, _bucket_col("url_b", n_store_buckets), F.xxhash64("url_b")
     )
+    if url_keys is not None:
+        prev_sigs = pruned_store_read(
+            spark, sig_store, -1, list(url_keys), url_keys
+        )
+    else:
+        touched_urls = [
+            r[0]
+            for r in joined.select(
+                _bucket_col("url_b", n_store_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        prev_sigs = pruned_store_read(spark, sig_store, -1, touched_urls)
+    prev_sigs = prev_sigs.select("url", "minhash")
     # a probe url may also exist IN the store (re-checking a known doc):
     # the probe's current signature is authoritative, and a url must appear
     # once in the sig table or the verify joins would duplicate its pairs

@@ -359,3 +359,139 @@ def test_probe_store_logs_no_bucket_mismatch_warning(tmp_path_factory, spark, ca
 
     with _pytest.raises(ValueError, match="no batches to probe"):
         probe_store(spark, df.limit(1), str(tmp_path_factory.mktemp("empty")), CFG)
+
+
+def test_bloom_filter_no_false_negatives_and_prunes():
+    """Manifest Bloom primitives: every inserted key passes (no false
+    negatives — pruning can never drop a real candidate); a disjoint key
+    set is rejected at the designed fpp."""
+    from minhash_spark.streaming.incremental import (
+        _bloom_build,
+        _bloom_m_bits,
+        _bloom_maybe_any,
+    )
+
+    rng = np.random.default_rng(123)
+    keys = rng.integers(0, 2**63, size=2000, dtype=np.int64).view(np.uint64)
+    m = _bloom_m_bits(len(keys))
+    bitmap = _bloom_build(keys, m)
+    # no false negatives: each inserted key individually passes
+    for k in keys[:200]:
+        assert _bloom_maybe_any(bitmap, m, np.array([k], dtype=np.uint64))
+    # disjoint probes: per-key pass rate must be tiny (designed ~5e-4)
+    other = rng.integers(0, 2**63, size=5000, dtype=np.int64).view(np.uint64)
+    other = np.setdiff1d(other, keys)
+    hits = sum(
+        _bloom_maybe_any(bitmap, m, np.array([k], dtype=np.uint64))
+        for k in other[:2000]
+    )
+    assert hits <= 10  # ≈ 2000 × 5e-4 = 1 expected; 10 = generous determinism margin
+
+
+def test_key_level_bloom_pruning_skips_disjoint_store_batches(
+    spark, tmp_path_factory
+):
+    """A narrow batch must read ONLY the store partitions whose manifest
+    Bloom admits one of its band keys — partitions in the SAME bucket but
+    written by batches the new docs cannot collide with are skipped. This is
+    the key-level pruning bucket pruning cannot provide."""
+    from minhash_spark.operators.lsh import bands_table
+    from minhash_spark.operators.signatures import with_minhash_signature
+    from minhash_spark.streaming.incremental import (
+        _bucket_col,
+        _collect_key_filter,
+        _store_subdirs,
+        pruned_store_read,
+    )
+
+    n_buckets = 4  # few buckets → every batch touches every bucket
+    store = str(tmp_path_factory.mktemp("bloomprune") / "store")
+    # two SHINGLE-DISJOINT halves (separate alphabets), so no band key of an
+    # half_a doc can genuinely occur in batch 1 — any batch-1 partition the
+    # keyed read keeps would be a Bloom false positive, not a collision
+    rng = np.random.default_rng(11)
+    vocab_a = [f"alpha{w:04d}" for w in range(300)]
+    vocab_b = [f"ZETA{w:04d}X" for w in range(300)]
+
+    def mk(vocab, prefix, n):
+        return [
+            (f"{prefix}{i}", " ".join(rng.choice(vocab, size=60)))
+            for i in range(n)
+        ]
+
+    half_a = spark.createDataFrame(mk(vocab_a, "a", 200), ["url", "text"])
+    half_b = spark.createDataFrame(mk(vocab_b, "b", 200), ["url", "text"])
+    incremental_dedup_batch(
+        spark, half_a, store, CFG, epoch_id=0, n_store_buckets=n_buckets
+    ).count()
+    incremental_dedup_batch(
+        spark, half_b, store, CFG, epoch_id=1, n_store_buckets=n_buckets
+    ).count()
+    _, band_store = _store_subdirs(store)
+
+    # probe batch: copies of THREE half_a docs (shared band keys with
+    # batch 0 only — batch 1's alphabet is disjoint, nothing can collide)
+    probe_rows = half_a.limit(3).collect()
+    probes = spark.createDataFrame(
+        [(r["url"] + "#copy", r["text"]) for r in probe_rows], ["url", "text"]
+    )
+    new_bands = bands_table(
+        with_minhash_signature(probes, CFG, packed=True).select("url", "minhash"),
+        CFG,
+    )
+    kf = _collect_key_filter(
+        new_bands, _bucket_col("band_key", n_buckets), F.col("band_key")
+    )
+    assert kf is not None
+
+    # bucket-level pruning alone reads BOTH store batches (tiny bucket count
+    # → all buckets touched); key-level pruning must drop batch_id=1 files
+    bucket_only = pruned_store_read(spark, band_store, -1, list(kf))
+    keyed = pruned_store_read(spark, band_store, -1, list(kf), kf)
+    assert any("batch_id=1" in f for f in bucket_only.inputFiles())
+    keyed_files = keyed.inputFiles()
+    assert keyed_files and all("batch_id=0" in f for f in keyed_files)
+    assert len(keyed_files) < len(bucket_only.inputFiles())
+
+    # correctness: the Bloom-pruned read still yields every real band match
+    hits = (
+        new_bands.select("band_key")
+        .distinct()
+        .join(keyed, "band_key")
+        .select("url")
+        .distinct()
+        .count()
+    )
+    assert hits >= 3  # each probed doc's stored counterpart is found
+
+
+def test_bloom_all_pruned_returns_empty_not_full_scan(spark, tmp_path_factory):
+    """When every bucket-matching partition is Bloom-rejected, the read
+    returns an EMPTY frame (schema intact) — it must not fall back to a
+    whole-store scan."""
+    from minhash_spark.streaming import probe_store
+    from minhash_spark.streaming.incremental import (
+        _bucket_col,
+        _collect_key_filter,
+        _store_subdirs,
+        pruned_store_read,
+    )
+
+    store = str(tmp_path_factory.mktemp("bloomempty") / "store")
+    pages, _, _ = generate_corpus(100, seed=3)
+    df = spark.createDataFrame(pages).select("url", "text")
+    incremental_dedup_batch(spark, df, store, CFG, epoch_id=0, n_store_buckets=4).count()
+    _, band_store = _store_subdirs(store)
+
+    kf = {b: np.array([12345 + b], dtype=np.uint64) for b in range(4)}
+    got = pruned_store_read(spark, band_store, -1, [0, 1, 2, 3], kf)
+    assert got.count() == 0
+    assert "band_key" in got.columns and "url" in got.columns
+    assert len(got.inputFiles()) <= 1  # at most the schema-footer partition
+
+    # end-to-end: probing a novel document returns no pairs
+    novel = spark.createDataFrame(
+        [("novel", "entirely new words never stored anywhere qq zz xx vv")],
+        ["url", "text"],
+    )
+    assert probe_store(spark, novel, store, CFG).count() == 0
