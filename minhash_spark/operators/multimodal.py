@@ -299,6 +299,88 @@ def png_gray_stats(
     return _gray_stats(df, "png", media_col, id_col)
 
 
+# deterministic 256-entry palette the SQL oracle can recompute per index i:
+# (r, g, b) = (i, (7·i) mod 256, 255 − i)
+def _oracle_palette() -> np.ndarray:
+    i = np.arange(256)
+    return np.stack([i, (7 * i) % 256, 255 - i], axis=1).astype(np.uint8)
+
+
+def png_palette_payload_udf(w: int, h: int):
+    """pandas UDF: text → indexed-color (type 3) PNG whose pixel (r, c)
+    INDEX is the (r·w + c)-th cycled text byte, resolved through the fixed
+    oracle palette. Exercises the PLTE chunk + index→RGB decode path."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .png import encode_png_palette
+
+    pal = _oracle_palette()
+
+    @pandas_udf(BinaryType())
+    def _png(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode_png_palette(cycle_bytes(t, w * h).reshape(h, w), pal)
+                for t in texts
+            ]
+        )
+
+    return _png
+
+
+PNG_PALETTE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("min_px", LongType()),
+        StructField("max_px", LongType()),
+    ]
+)
+
+
+def png_palette_stats(
+    df: DataFrame, media_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Palette-PNG decode (PLTE lookup → RGB) → per-channel integer sums +
+    global min/max. Integer outputs only, so the DuckDB oracle compares
+    exactly with no float-division parity concerns."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(media_col).alias("media"))
+
+    def _f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import decode_png
+
+        for pdf in batches:
+            out = []
+            for did, data in zip(pdf["doc_id"], pdf["media"]):
+                img = decode_png(bytes(data)).astype(np.int64)  # (h, w, 3)
+                out.append(
+                    (
+                        did,
+                        img.shape[1],
+                        img.shape[0],
+                        int(img[:, :, 0].sum()),
+                        int(img[:, :, 1].sum()),
+                        int(img[:, :, 2].sum()),
+                        int(img.min()),
+                        int(img.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height",
+                    "sum_r", "sum_g", "sum_b", "min_px", "max_px",
+                ],
+            )
+
+    return src.mapInPandas(_f, PNG_PALETTE_SCHEMA)
+
+
 def wav_payload_udf(n_samples: int, rate: int = 16000):
     """pandas UDF: text → PCM16 WAV whose samples are the text's utf-8 bytes
     cycled to 2·n_samples and viewed as little-endian int16."""

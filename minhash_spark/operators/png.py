@@ -1,20 +1,21 @@
 """Pure-numpy baseline PNG codec — the second compressed-format column
 parser (after operators/jpeg.py) for opaque binary media columns.
 
-Decoder: full PNG path for 8-bit gray / gray+alpha / RGB / RGBA,
-non-interlaced — chunk framing + CRC check, zlib container (header +
-Adler-32), a from-scratch RFC 1951 inflate (stored, fixed-Huffman and
-dynamic-Huffman blocks), and scanline unfiltering (None/Sub/Up/Average/
-Paeth). Encoder: the same image types as zlib STORED-block streams with
-filter 0 — a byte-exact lossless round-trip, which is what lets the Spark
-query surface hold the codec to a hash-checked value oracle
+Decoder: full PNG path for 8-bit gray / gray+alpha / RGB / RGBA / palette
+(color type 3, PLTE-resolved to RGB), non-interlaced — chunk framing + CRC
+check, zlib container (header + Adler-32), a from-scratch RFC 1951 inflate
+(stored, fixed-Huffman and dynamic-Huffman blocks), and scanline
+unfiltering (None/Sub/Up/Average/Paeth). Encoder: the same image types as
+zlib STORED-block streams with filter 0 (palette via encode_png_palette) —
+a byte-exact lossless round-trip, which is what lets the Spark query
+surface hold the codec to a hash-checked value oracle
 (queries.q_multimodal_png_roundtrip), the same self-generated-vector
 discipline as the JPEG codec. The inflate also decodes externally-produced
 streams (tests cross-check against stdlib zlib.compress output at several
 levels, which exercises the fixed and dynamic Huffman paths).
 
-Same capability-boundary honesty as jpeg.py: palette images, bit depths
-other than 8, and interlacing raise NotImplementedError explicitly.
+Same capability-boundary honesty as jpeg.py: bit depths other than 8 and
+interlacing raise NotImplementedError explicitly.
 
 References: RFC 1950 (zlib), RFC 1951 (DEFLATE), RFC 2083 / W3C PNG spec.
 Like the reference repo's sketch constants, the Huffman length/distance
@@ -29,8 +30,9 @@ import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-# channels per color type (palette type 3 unsupported — needs PLTE handling)
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# samples per pixel by color type; type 3 (palette) carries ONE index
+# sample per pixel and resolves to RGB through the PLTE chunk at decode
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 # RFC 1951 §3.2.5 — length code 257+i: (extra bits, base length)
 _LEN_BASE = [3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31, 35, 43,
@@ -351,13 +353,14 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("png: bad signature")
     ihdr = None
     idat = bytearray()
+    plte = None
     for ctype, body in _iter_chunks(data):
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"PLTE":
-            raise NotImplementedError("png: palette (color type 3) unsupported")
+            plte = body
     if ihdr is None:
         raise ValueError("png: missing IHDR")
     w, h, depth, ctype_i, comp, filt, interlace = ihdr
@@ -372,6 +375,17 @@ def decode_png(data: bytes) -> np.ndarray:
     channels = _CHANNELS[ctype_i]
     raw = zlib_decompress(bytes(idat))
     mat = _unfilter(raw, h, w * channels, channels)
+    if ctype_i == 3:
+        # indexed color (PNG spec §4.1.2/11.2.3): one index sample per
+        # pixel, resolved through the PLTE lookup table to RGB
+        if plte is None:
+            raise ValueError("png: color type 3 requires a PLTE chunk")
+        if len(plte) % 3 or not 3 <= len(plte) <= 768:
+            raise ValueError(f"png: bad PLTE length {len(plte)}")
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(mat.max(initial=0)) >= len(palette):
+            raise ValueError("png: palette index out of range")
+        return palette[mat]
     return mat if channels == 1 else mat.reshape(h, w, channels)
 
 
@@ -400,6 +414,30 @@ def encode_png(img: np.ndarray) -> bytes:
     return (
         PNG_SIG
         + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype_i, 0, 0, 0))
+        + _chunk(b"IDAT", zlib_compress_stored(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Indexed-color (type 3) PNG: `indices` is (h, w) uint8 into `palette`
+    (n ≤ 256, 3) uint8 RGB. Emitted with a PLTE chunk, 8-bit samples,
+    STORED zlib blocks and filter 0 — decode_png(encode_png_palette(i, p))
+    == p[i] exactly, the palette self-vector for the round-trip oracle."""
+    indices = np.asarray(indices, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if indices.ndim != 2:
+        raise ValueError(f"png: palette indices must be (h, w), got {indices.shape}")
+    if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= len(palette) <= 256:
+        raise ValueError(f"png: palette must be (1..256, 3), got {palette.shape}")
+    if int(indices.max(initial=0)) >= len(palette):
+        raise ValueError("png: palette index out of range")
+    h, w = indices.shape
+    raw = b"".join(b"\x00" + indices[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", palette.tobytes())
         + _chunk(b"IDAT", zlib_compress_stored(raw))
         + _chunk(b"IEND", b"")
     )

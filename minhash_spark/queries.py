@@ -891,6 +891,51 @@ FROM v
 """
 
 
+def q_multimodal_png_palette(spark, sf_dir):
+    """Indexed-color PNG path, value-oracled: text bytes → 16×16 INDEX
+    matrix → palette PNG encode (PLTE chunk, operators/png.py) → REAL
+    decode (PLTE lookup to RGB) → per-channel integer sums. The palette is
+    a fixed formula ((i, 7i mod 256, 255−i)), so the oracle recomputes the
+    channel sums directly from the cycled text bytes."""
+    from .operators.multimodal import png_palette_payload_udf, png_palette_stats
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = d.select(
+        "doc_id", png_palette_payload_udf(_PNG_W, _PNG_H)("text").alias("payload")
+    )
+    return png_palette_stats(payloads)
+
+
+SQL_MULTIMODAL_PNG_PALETTE = f"""
+WITH codes AS (
+  SELECT doc_id,
+    list_transform(regexp_split_to_array(text, ''), c -> unicode(c)) AS cs,
+    length(text) AS n
+  FROM documents
+), v AS (
+  SELECT doc_id,
+    CASE WHEN n = 0 THEN list_transform(range(0, {_PNG_NPX}), j -> 0)
+         ELSE list_transform(range(0, {_PNG_NPX}), j -> cs[(j % n) + 1]) END AS idx
+  FROM codes
+), ch AS (
+  SELECT doc_id,
+    idx AS r,
+    list_transform(idx, i -> (i * 7) % 256) AS g,
+    list_transform(idx, i -> 255 - i) AS b
+  FROM v
+)
+SELECT doc_id,
+  {_PNG_W}::BIGINT AS width,
+  {_PNG_H}::BIGINT AS height,
+  list_sum(r)::BIGINT AS sum_r,
+  list_sum(g)::BIGINT AS sum_g,
+  list_sum(b)::BIGINT AS sum_b,
+  least(list_min(r), list_min(g), list_min(b))::BIGINT AS min_px,
+  greatest(list_max(r), list_max(g), list_max(b))::BIGINT AS max_px
+FROM ch
+"""
+
+
 def q_multimodal_audio_features(spark, sf_dir):
     from .operators.multimodal import wav_payload_udf, audio_stats
 
@@ -1547,6 +1592,7 @@ QUERIES = {
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_jpeg_roundtrip": q_multimodal_jpeg_roundtrip,
     "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
+    "multimodal_png_palette": q_multimodal_png_palette,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -1599,6 +1645,7 @@ ORACLE_SQL = {
     "multimodal_image_features": SQL_MULTIMODAL_IMAGE_FEATURES,
     "multimodal_jpeg_roundtrip": SQL_MULTIMODAL_JPEG_ROUNDTRIP,
     "multimodal_png_roundtrip": SQL_MULTIMODAL_PNG_ROUNDTRIP,
+    "multimodal_png_palette": SQL_MULTIMODAL_PNG_PALETTE,
     "multimodal_audio_features": SQL_MULTIMODAL_AUDIO_FEATURES,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "tpch_q1_pricing": SQL_TPCH_Q1_PRICING,

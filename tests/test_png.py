@@ -188,3 +188,62 @@ def test_png_roundtrip_property():
         assert np.array_equal(decode_png(data), img)
 
     check()
+
+
+def test_png_palette_roundtrip_exact():
+    from minhash_spark.operators.png import encode_png_palette
+
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (9, 7), dtype=np.uint8)
+    data = encode_png_palette(idx, pal)
+    assert b"PLTE" in data
+    assert np.array_equal(decode_png(data), pal[idx])
+    # small palette, indices at the boundary
+    pal3 = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]], dtype=np.uint8)
+    idx3 = np.array([[0, 2], [1, 0]], dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png_palette(idx3, pal3)), pal3[idx3])
+
+
+def test_png_palette_filtered_scanlines_decode():
+    """Palette images use the same filter machinery over 1-byte pixels —
+    hand-build an Up-filtered palette IDAT and check the lookup result."""
+    pal = np.stack(
+        [np.arange(256), (7 * np.arange(256)) % 256, 255 - np.arange(256)],
+        axis=1,
+    ).astype(np.uint8)
+    idx = np.array([[3, 5, 250], [4, 6, 251]], dtype=np.uint8)
+    # row0: filter None; row1: filter Up (deltas vs row0)
+    raw = bytes([0]) + idx[0].tobytes() + bytes([2]) + (
+        (idx[1].astype(np.int64) - idx[0]) % 256
+    ).astype(np.uint8).tobytes()
+    data = (
+        PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib_compress_stored(raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), pal[idx])
+
+
+def test_png_palette_error_paths():
+    from minhash_spark.operators.png import encode_png_palette
+
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    # index out of palette range at encode
+    with pytest.raises(ValueError, match="index out of range"):
+        encode_png_palette(idx + 200, pal)
+    # type 3 without PLTE
+    good = encode_png_palette(idx, pal)
+    s = good.index(b"PLTE") - 4
+    e = s + 4 + 4 + 12 + 4  # len + type + 12 palette bytes + crc
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(good[:s] + good[e:])
+    # decode-side index range check: 2-entry palette, index 3 in the data
+    small = encode_png_palette(np.array([[3]], dtype=np.uint8), pal)
+    trimmed = small.replace(
+        _chunk(b"PLTE", pal.tobytes()), _chunk(b"PLTE", pal[:2].tobytes())
+    )
+    with pytest.raises(ValueError, match="index out of range"):
+        decode_png(trimmed)
