@@ -163,10 +163,21 @@ def bench_dedup_minhash(spark, sf_dir) -> tuple[float, int, float, float]:
 BENCH_LOG_DIR = "/tmp/spark-events-bench"
 
 
-def _parse_task_windows(log_dir: str) -> list[tuple[float, float, float, float]]:
-    """Event-log task records as (launch_sec, finish_sec, run_sec, cpu_sec) —
-    the raw material for attributing executor work to per-query time
-    windows."""
+def _parse_task_windows(
+    log_dir: str,
+) -> list[tuple[float, float, float, float, float]]:
+    """Event-log task records as (launch_sec, finish_sec, run_sec,
+    jvm_cpu_sec, python_worker_sec).
+
+    SEMANTICS — the two "CPU" fields measure different things:
+    - jvm_cpu_sec ("Executor CPU Time") counts ONLY JVM-thread CPU; work
+      done in Arrow/pandas-UDF Python workers is invisible to it, so a
+      UDF-heavy stage can read as ~3% "CPU" while the Python workers are
+      compute-bound.
+    - python_worker_sec sums the per-task "time to run Python workers" SQL
+      accumulable (ms) on ArrowEvalPython/mapInPandas nodes: the time the
+      JVM spent feeding/awaiting the Python workers — the honest signal
+      that a stage is Python-worker-bound."""
     tasks = []
     paths = [
         p
@@ -183,12 +194,22 @@ def _parse_task_windows(log_dir: str) -> list[tuple[float, float, float, float]]
                 if ev.get("Event") == "SparkListenerTaskEnd":
                     ti = ev.get("Task Info", {})
                     tm = ev.get("Task Metrics") or {}
+                    # SQL-metric accumulable Updates are serialized as
+                    # STRINGS in the event log ('2118'), unlike task metrics
+                    py_ms = 0.0
+                    for acc in ti.get("Accumulables", []):
+                        if acc.get("Name") == "time to run Python workers":
+                            try:
+                                py_ms += float(acc.get("Update", 0))
+                            except (TypeError, ValueError):
+                                pass
                     tasks.append(
                         (
                             ti.get("Launch Time", 0) / 1000.0,
                             ti.get("Finish Time", 0) / 1000.0,
                             tm.get("Executor Run Time", 0) / 1000.0,
                             tm.get("Executor CPU Time", 0) / 1e9,
+                            py_ms / 1000.0,
                         )
                     )
     return tasks
@@ -304,9 +325,13 @@ def main() -> None:
             best_window[name] = (t0, t1)
     for name, (t0, t1) in best_window.items():
         w = [t for t in tasks if t0 <= t[0] and t[1] <= t1 + 1]
+        # jvm_cpu_sec counts JVM-thread CPU ONLY (pandas-UDF Python-worker
+        # compute is invisible to it); python_worker_sec is the time tasks
+        # spent running Python workers — see _parse_task_windows
         task_cpu[name] = {
             "task_sec": round(sum(t[2] for t in w), 1),
-            "cpu_sec": round(sum(t[3] for t in w), 1),
+            "jvm_cpu_sec": round(sum(t[3] for t in w), 1),
+            "python_worker_sec": round(sum(t[4] for t in w), 1),
         }
 
     total = round(sum(timings.values()), 3)
