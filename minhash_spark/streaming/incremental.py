@@ -428,6 +428,7 @@ def incremental_dedup_batch(
     cfg: DedupConfig | None = None,
     epoch_id: int = 0,
     n_store_buckets: int = 64,
+    key_prune: bool = True,
 ) -> DataFrame:
     """Dedup one micro-batch against the accumulated signature store:
     signatures + LSH bands for the batch, band join of the new bands against
@@ -472,8 +473,14 @@ def incremental_dedup_batch(
         # partition's manifest — partitions that contain NONE of the batch's
         # band keys are never read. A wide batch (> cap keys) falls back to
         # bucket-level pruning (where it touches everything anyway).
-        band_keys = _collect_key_filter(
-            new_bands, _bucket_col("band_key", n_store_buckets), F.col("band_key")
+        band_keys = (
+            _collect_key_filter(
+                new_bands,
+                _bucket_col("band_key", n_store_buckets),
+                F.col("band_key"),
+            )
+            if key_prune
+            else None
         )
         if band_keys is not None:
             batch_is_narrow = True
@@ -541,10 +548,14 @@ def incremental_dedup_batch(
         # touch, Bloom-refined to partitions that may actually HOLD one of
         # the candidate urls (key = xxhash64(url), same derivation as the
         # write-side manifest blooms)
-        url_keys = _collect_key_filter(
-            joined.select(F.explode(F.array("url_a", "url_b")).alias("u")),
-            _bucket_col("u", n_store_buckets),
-            F.xxhash64("u"),
+        url_keys = (
+            _collect_key_filter(
+                joined.select(F.explode(F.array("url_a", "url_b")).alias("u")),
+                _bucket_col("u", n_store_buckets),
+                F.xxhash64("u"),
+            )
+            if key_prune
+            else None
         )
         if url_keys is not None:
             prev_sigs = pruned_store_read(
