@@ -3,13 +3,14 @@ with typed metadata, processed through Arrow-batched mapInPandas.
 
 Decoded FOR REAL in pure numpy: BMP (24-bit uncompressed) and WAV (PCM16)
 parse the actual on-disk layout (header validation, bottom-up BGR rows,
-little-endian samples); baseline JPEG goes through a full SOF0 bitstream
-decoder (operators/jpeg.py: DQT/DHT/SOF/SOS parse, Huffman, dequantize,
+little-endian samples); baseline AND progressive JPEG go through a full
+multi-scan bitstream decoder (operators/jpeg.py: DQT/DHT/SOF/SOS parse,
+Huffman, spectral-selection + successive-approximation scans, dequantize,
 IDCT, 3-component YCbCr, sampling factors, restart markers); and PNG goes
 through a full container + from-scratch RFC 1951 inflate + unfilter path
-(operators/png.py: 8-bit gray/GA/RGB/RGBA, stored/fixed/dynamic-Huffman
-blocks). Codecs this container genuinely cannot handle (progressive JPEG,
-palette/interlaced PNG, MP3, video) are STUBBED behind NotImplementedError
+(operators/png.py: 8-bit gray/GA/RGB/RGBA/palette, stored/fixed/
+dynamic-Huffman blocks). Codecs this container genuinely cannot handle
+(interlaced PNG, MP3, video) are STUBBED behind NotImplementedError
 — with ``fake_decode`` as the deterministic stand-in so the Spark-side
 plumbing (schema, partitioning, UDF signature, batch shape) stays real and
 tested either way. Swapping in Pillow/torchaudio later only replaces the
@@ -122,12 +123,13 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
 
 def decode_media(data: bytes, media_type: str):
     """Decode entry point: real pure-numpy parsers for the formats this
-    environment can handle — uncompressed BMP24/WAV-PCM16, baseline JPEG
-    (operators/jpeg.py: full SOF0 decoder incl. 3-component YCbCr, sampling
-    factors, restart markers) and PNG (operators/png.py: full chunk/zlib/
-    RFC 1951 inflate/unfilter path, 8-bit gray/GA/RGB/RGBA). Progressive
-    JPEG / palette PNG / MP3 / video still raise (they need external codec
-    libraries — swap in Pillow/ffmpeg where available)."""
+    environment can handle — uncompressed BMP24/WAV-PCM16, baseline +
+    progressive JPEG (operators/jpeg.py: multi-scan decoder incl.
+    3-component YCbCr, sampling factors, restart markers, Annex-G
+    progressive scans) and PNG (operators/png.py: full chunk/zlib/RFC 1951
+    inflate/unfilter path, 8-bit gray/GA/RGB/RGBA/palette). MP3 / video /
+    interlaced PNG still raise (they need external codec libraries — swap
+    in Pillow/ffmpeg where available)."""
     if media_type == "bmp":
         return decode_bmp24(data)
     if media_type == "wav":
@@ -215,6 +217,32 @@ def jpeg_payload_udf(w_blocks: int, h_blocks: int):
             vals = cycle_bytes(t, w_blocks * h_blocks).reshape(h_blocks, w_blocks)
             img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
             out.append(encode_gray_baseline(img, quant=ones))
+        return pd.Series(out)
+
+    return _jpg
+
+
+def jpeg_progressive_payload_udf(w_blocks: int, h_blocks: int):
+    """pandas UDF: text → PROGRESSIVE (SOF2) JPEG of the same block-constant
+    grayscale image as jpeg_payload_udf — six scans (DC first + refinement,
+    two spectral AC bands first + refinement, successive approximation
+    Al=1). Identical quantized coefficients to the baseline encoding, so the
+    same lossless oracle contract holds and the decode exercises the whole
+    T.81 Annex-G multi-scan path."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .jpeg import encode_gray_progressive
+
+    ones = np.ones((8, 8), dtype=np.int64)
+
+    @pandas_udf(BinaryType())
+    def _jpg(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            vals = cycle_bytes(t, w_blocks * h_blocks).reshape(h_blocks, w_blocks)
+            img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+            out.append(encode_gray_progressive(img, quant=ones, al=1))
         return pd.Series(out)
 
     return _jpg

@@ -848,6 +848,24 @@ FROM v
 """
 
 
+def q_multimodal_jpeg_progressive(spark, sf_dir):
+    """Progressive (SOF2) JPEG path, value-oracled: the same block-constant
+    construction as multimodal_jpeg_roundtrip but encoded as SIX progressive
+    scans (DC first + refinement, two spectral AC bands first + refinement,
+    successive approximation Al=1 — operators/jpeg.py Annex-G surface) and
+    decoded through the shared multi-scan coefficient-store decoder. Same
+    oracle SQL: the coefficients are transported losslessly across scans, so
+    the stats recompute directly from the cycled text bytes."""
+    from .operators.multimodal import jpeg_progressive_payload_udf, jpeg_gray_stats
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = d.select(
+        "doc_id",
+        jpeg_progressive_payload_udf(_JPEG_WB, _JPEG_HB)("text").alias("payload"),
+    )
+    return jpeg_gray_stats(payloads)
+
+
 _PNG_W, _PNG_H = 16, 16  # 256 = 2^8 pixels → exact double mean
 
 
@@ -1591,6 +1609,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_jpeg_roundtrip": q_multimodal_jpeg_roundtrip,
+    "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
     "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
     "multimodal_png_palette": q_multimodal_png_palette,
     "multimodal_audio_features": q_multimodal_audio_features,
@@ -1644,6 +1663,7 @@ ORACLE_SQL = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_image_features": SQL_MULTIMODAL_IMAGE_FEATURES,
     "multimodal_jpeg_roundtrip": SQL_MULTIMODAL_JPEG_ROUNDTRIP,
+    "multimodal_jpeg_progressive": SQL_MULTIMODAL_JPEG_ROUNDTRIP,
     "multimodal_png_roundtrip": SQL_MULTIMODAL_PNG_ROUNDTRIP,
     "multimodal_png_palette": SQL_MULTIMODAL_PNG_PALETTE,
     "multimodal_audio_features": SQL_MULTIMODAL_AUDIO_FEATURES,
