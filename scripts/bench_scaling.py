@@ -34,6 +34,7 @@ LEVELS = (2, 8, 32)
 PAIRS = [(2, 8), (8, 32)]
 AMPLIFY = 100
 REPEATS = 3
+MANUAL_MARKER = "<!-- MANUAL SECTIONS below: preserved across bench_scaling rewrites -->"
 STAGES = ["signatures", "bands_candidates", "verify", "connected_components"]
 
 
@@ -239,7 +240,17 @@ def main() -> None:
     sort_pair = (eff(srt[2], srt[8]), eff(srt[8], srt[32]))
     exch_pair = (eff(exch[2], exch[8]), eff(exch[8], exch[32]))
 
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # everything below this marker in the existing file (hand-written
+    # round-over-round, weak-scaling, head-to-head sections) survives the
+    # rewrite — this script owns only the generated top half
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    manual = ""
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = f.read()
+        if MANUAL_MARKER in prev:
+            manual = MANUAL_MARKER + prev.split(MANUAL_MARKER, 1)[1]
+    with open(out_path, "w") as f:
         f.write(f"""# BENCH — measured throughput & scaling evidence
 
 Input: `{sf_dir}` documents amplified ×{AMPLIFY} into {n_docs} docs of 5-clone
@@ -307,7 +318,10 @@ correctness parity is the sketch-semantics equality enforced by tests
 (vectorized kernels == serial oracle clone; Spark output == kernels; DuckDB
 oracle == Spark on every registered driver query) and the dup-pair recall ≥ 0.99 e2e
 gate (tests/test_pipeline.py).
+
 """)
+        if manual:
+            f.write(manual)
     print("→ BENCH/BASELINE.md")
 
 
