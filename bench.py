@@ -98,7 +98,11 @@ def amplified_docs(spark, sf_dir, amplify: int | None = None):
         F.concat(mutated, F.lit(" clonevariant"), clone.cast("string")),
     )
     return amplified.select(
-        (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+        # rep must widen to long BEFORE the multiply: at amplify ≥ 215 the
+        # int32 product overflows, which ANSI mode (Spark 4 default) raises
+        (F.col("doc_id") + F.col("rep").cast("long") * F.lit(10_000_000)).alias(
+            "doc_id"
+        ),
         F.col("_amp_text").alias("text"),
     )
 
