@@ -104,3 +104,57 @@ def ngram_jaccard_pairs(
             jaccard_col(F.col("_ga"), F.col("_gb")).alias("jaccard"),
         )
     )
+
+
+def decontaminate_report(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "url",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document sharing at least
+    one word n-gram with the eval set, report the overlap
+    → (id, n_grams, n_contaminated, contamination, flagged).
+
+    The training-data-pipeline gate against eval leakage (the GPT-3 /
+    Pile-style n-gram contamination check; reference analog: the
+    corpus-membership query surface, src/fcds/minhash-fcds.c:292-316,
+    generalized from exact membership to n-gram overlap).
+
+    Scale shape: the eval side (a benchmark suite — MBs, not TBs) is
+    deduplicated to a distinct-gram set and BROADCAST, so the exploded
+    corpus grams never shuffle: explode → broadcast-hash-join → partial
+    aggregation by doc id all fuse into the scan stage. Per-doc gram sets
+    are `array_distinct`ed, so the post-join count(*) IS the exact
+    intersection size. Docs with zero overlap drop out of the inner join —
+    the report is O(contaminated docs), not O(corpus).
+    """
+    grams = docs.select(
+        F.col(id_col).alias("_gid"), ngrams_col(text_col, n).alias("_grams")
+    )
+    eval_grams = (
+        eval_docs.select(F.explode(ngrams_col(text_col, n)).alias("_gram"))
+        .distinct()
+    )
+    exploded = grams.select(
+        "_gid",
+        F.size("_grams").cast("long").alias("n_grams"),
+        F.explode("_grams").alias("_gram"),
+    )
+    hits = (
+        exploded.join(F.broadcast(eval_grams), "_gram")
+        .groupBy("_gid", "n_grams")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    frac = F.round(
+        F.col("n_contaminated").cast("double") / F.col("n_grams").cast("double"), 6
+    )
+    return hits.select(
+        F.col("_gid").alias(id_col),
+        "n_grams",
+        "n_contaminated",
+        frac.alias("contamination"),
+        (frac >= F.lit(threshold)).alias("flagged"),
+    )

@@ -305,6 +305,22 @@ def q_ngram_containment_consecutive(spark, sf_dir):
     ).select("id_a", "id_b", "containment")
 
 
+def q_ngram_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing word 5-grams with a held-out
+    eval set (every 41st doc stands in for the benchmark suite), reported as
+    per-doc overlap counts + contamination fraction + flag. The eval side is
+    distinct-gram'd and broadcast, so the exploded corpus grams never
+    shuffle — explode, broadcast join and partial agg fuse into the scan
+    stage (see operators/ngram.py:decontaminate_report)."""
+    from .operators.ngram import decontaminate_report
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = docs.where(F.col("doc_id") % 41 == 0)
+    return decontaminate_report(
+        docs, eval_docs, n=5, id_col="doc_id", threshold=0.5
+    )
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary statistics: the 100 most frequent lowercased tokens
     with occurrence counts — the vocab-audit pass of a training-data
@@ -598,6 +614,23 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        ELSE round(len(list_intersect(a.g, b.g))::DOUBLE
                   / len(list_distinct(list_concat(a.g, b.g))), 6) END AS jaccard
 FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+
+_G5 = rf"""CASE WHEN len({_TOKS}) < 5 THEN []::VARCHAR[]
+         ELSE list_distinct(list_transform(
+                generate_series(1, len({_TOKS}) - 4),
+                i -> array_to_string(({_TOKS})[i:i+4], ' '))) END"""
+
+SQL_NGRAM_DECONTAMINATE = rf"""
+WITH g AS (SELECT doc_id, {_G5} AS grams FROM documents),
+e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 41 = 0),
+x AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM g)
+SELECT x.doc_id, x.n_grams, count(*)::BIGINT AS n_contaminated,
+  round(count(*)::DOUBLE / x.n_grams, 6) AS contamination,
+  (round(count(*)::DOUBLE / x.n_grams, 6) >= 0.5) AS flagged
+FROM x JOIN e USING (gram)
+GROUP BY x.doc_id, x.n_grams
 """
 
 
@@ -1596,6 +1629,7 @@ QUERIES = {
     "token_jaccard_consecutive": q_token_jaccard_consecutive,
     "ngram3_jaccard_consecutive": q_ngram3_jaccard_consecutive,
     "ngram_containment_consecutive": q_ngram_containment_consecutive,
+    "ngram_decontaminate": q_ngram_decontaminate,
     "vocab_topk": q_vocab_topk,
     "url_canonicalize": q_url_canonicalize,
     "passage_dup_stats": q_passage_dup_stats,
@@ -1650,6 +1684,7 @@ ORACLE_SQL = {
     "token_jaccard_consecutive": SQL_TOKEN_JACCARD_CONSECUTIVE,
     "ngram3_jaccard_consecutive": SQL_NGRAM3_JACCARD_CONSECUTIVE,
     "ngram_containment_consecutive": SQL_NGRAM_CONTAINMENT_CONSECUTIVE,
+    "ngram_decontaminate": SQL_NGRAM_DECONTAMINATE,
     "vocab_topk": SQL_VOCAB_TOPK,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "passage_dup_stats": SQL_PASSAGE_DUP_STATS,

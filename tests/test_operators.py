@@ -575,3 +575,43 @@ def test_scrub_pii_semantics(spark):
     assert got[3][1:] == (0, 0, 2) and got[3][0] == "call <PHONE> or (<PHONE>"
     # ordinary short numbers and dotted versions survive
     assert got[4] == ("no pii here, version 1.2 and year 2024", 0, 0, 0)
+
+
+def test_decontaminate_report_exact_values(spark):
+    from minhash_spark.operators.ngram import decontaminate_report
+
+    # eval doc: 6 tokens → bigrams {a b, b c, c d, d e, e f}
+    # d1 copies 3 of those bigrams out of its own 4 → 0.75 ≥ 0.5 flagged
+    # d2 shares exactly one bigram of its 4 → 0.25, reported but unflagged
+    # d3 shares none → absent from the report
+    docs = spark.createDataFrame(
+        [
+            ("e0", "a b c d e f"),
+            ("d1", "a b c d x"),
+            ("d2", "q r a b s"),
+            ("d3", "p q r s t"),
+        ],
+        ["url", "text"],
+    )
+    got = {
+        r["url"]: r.asDict()
+        for r in decontaminate_report(
+            docs, docs.where(F.col("url") == "e0"), n=2, threshold=0.5
+        ).collect()
+    }
+    assert set(got) == {"e0", "d1", "d2"}
+    assert got["e0"]["contamination"] == 1.0 and got["e0"]["flagged"]
+    assert got["d1"]["n_grams"] == 4 and got["d1"]["n_contaminated"] == 3
+    assert got["d1"]["contamination"] == 0.75 and got["d1"]["flagged"]
+    assert got["d2"]["contamination"] == 0.25 and not got["d2"]["flagged"]
+
+
+def test_decontaminate_short_docs_drop_out(spark):
+    from minhash_spark.operators.ngram import decontaminate_report
+
+    # fewer tokens than n → empty gram set → no row (never divides by zero)
+    docs = spark.createDataFrame([("e0", "a b c"), ("s", "a")], ["url", "text"])
+    rows = decontaminate_report(
+        docs, docs.where(F.col("url") == "e0"), n=2
+    ).collect()
+    assert [r["url"] for r in rows] == ["e0"]
