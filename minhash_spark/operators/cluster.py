@@ -67,7 +67,13 @@ def connected_components(
         # ONCE — labels stay partitioned by u (groupBy output), so the iteration
         # join and the label update join both line up with zero per-round
         # exchanges of the edge set
+        # localCheckpoint is eager, so once the repartitioned copy is
+        # materialized the first checkpoint's blocks can be dropped — at
+        # large edge counts each stale checkpoint holds the whole edge set
+        # in block storage until driver GC happens to collect the reference
+        pre = sym
         sym = sym.repartition(num_partitions, "v").localCheckpoint()
+        pre.unpersist()
 
         labels = (
             sym.select(F.col("u"))
@@ -77,6 +83,7 @@ def connected_components(
         )
 
         rounds = 0
+        prev_ckpt = labels
         for _ in range(max_iterations):
             rounds += 1
             # smallest label visible from each vertex through one hop
@@ -99,6 +106,11 @@ def connected_components(
                     F.col("l.label").alias("old_label"),
                 )
             ).localCheckpoint()
+            # the new round's labels are materialized; the previous round's
+            # checkpoint blocks are dead — free them now rather than keeping
+            # O(rounds) full label copies pinned in block storage
+            prev_ckpt.unpersist()
+            prev_ckpt = new_labels
             changed = new_labels.where(F.col("new_label") < F.col("old_label")).limit(1)
             labels = new_labels.select("u", F.col("new_label").alias("label"))
             if changed.count() == 0:

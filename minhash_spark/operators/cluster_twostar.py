@@ -68,6 +68,7 @@ def connected_components_twostar(
     prev = _star_checksum(e)
     converged = False
     rounds = 0
+    prev_ckpt = e
     for _ in range(max_iterations):
         rounds += 1
         # -- large-star: u's larger neighbors adopt m = min({u} ∪ Γ(u)) -----
@@ -96,6 +97,13 @@ def connected_components_twostar(
             .distinct()
             .localCheckpoint()  # truncate lineage every round
         )
+        # this round's edges are materialized (eager checkpoint) — free the
+        # previous round's blocks instead of pinning O(rounds) edge copies
+        # in block storage until driver GC. The first checkpoint also backs
+        # `vertices`, but that is itself checkpointed, so its blocks are
+        # safe to drop.
+        prev_ckpt.unpersist()
+        prev_ckpt = e
 
         cur = _star_checksum(e)
         if cur == prev:

@@ -69,16 +69,30 @@ def _tree_rss(root: int) -> int:
 
 
 class PeakSampler(threading.Thread):
+    """Tracks two peaks: tree RSS (driver + JVM + every Python worker) and
+    scratch bytes (shuffle/checkpoint growth on the local-dir mounts above
+    their level at start — on tmpfs this IS memory, so it's the number that
+    decides whether a run OOMs)."""
+
+    MOUNTS = ("/dev/shm", "/tmp")
+
     def __init__(self, interval: float = 2.0):
         super().__init__(daemon=True)
         self.interval = interval
         self.peak = 0
+        self.peak_scratch = 0
+        self._base = {m: shutil.disk_usage(m).used for m in self.MOUNTS}
         self._halt = threading.Event()
 
     def run(self) -> None:
         me = os.getpid()
         while not self._halt.is_set():
             self.peak = max(self.peak, _tree_rss(me))
+            scratch = sum(
+                max(0, shutil.disk_usage(m).used - self._base[m])
+                for m in self.MOUNTS
+            )
+            self.peak_scratch = max(self.peak_scratch, scratch)
             self._halt.wait(self.interval)
 
     def stop(self) -> int:
@@ -95,7 +109,15 @@ def dedup_e2e(spark, docs) -> dict:
     ).persist()
     bands = bands_table(sigs, CFG, id_col="doc_id")
     cands = candidate_pairs(bands, CFG, id_col="doc_id")
-    verified = verify_pairs(cands, sigs, CFG, id_col="doc_id").persist()
+    # localCheckpoint (eager) instead of persist: truncating the lineage here
+    # lets the ContextCleaner delete the signature/band/verify shuffle files
+    # once the upstream refs are released — with a plain persist the full
+    # lineage pins every shuffle for recompute and scratch grows to ~100 GB
+    # at 5M docs (= the tmpfs OOM this run exists to catch)
+    verified = verify_pairs(cands, sigs, CFG, id_col="doc_id").localCheckpoint()
+    sigs.unpersist()
+    release_persisted()
+    spark.sparkContext._jvm.System.gc()  # reap dead shuffles before CC
     clusters = connected_components(verified)
     n_clustered = clusters.count()
     wall = round(time.time() - t0, 1)
@@ -107,9 +129,7 @@ def dedup_e2e(spark, docs) -> dict:
     found = verified.where(group(F.col("url_a")) == group(F.col("url_b"))).count()
     n_groups = n_docs // bench.N_CLONES
     expected = n_groups * (bench.N_CLONES * (bench.N_CLONES - 1) // 2)
-    sigs.unpersist()
     verified.unpersist()
-    release_persisted()
     return {
         "n_docs": n_docs,
         "wall_sec": wall,
@@ -146,13 +166,28 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     amplify = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 
-    spark = get_spark("minhash-sf1-bench")
+    # shorten the cleaner's periodic driver GC (default 30 min): shuffle
+    # files are only deleted after their dependency objects are collected,
+    # and a 5M-doc run writes scratch faster than the default reclaims it
+    spark = get_spark(
+        "minhash-sf1-bench",
+        extra_conf={"spark.cleaner.periodicGC.interval": "2min"},
+    )
     sampler = PeakSampler()
     sampler.start()
 
     docs = bench.corpus_parquet(spark, sf_dir, amplify).select("doc_id", "text")
     e2e = dedup_e2e(spark, docs)
     print(f"# e2e {e2e}", file=sys.stderr, flush=True)
+    # fresh session between phases: stopping the context deletes phase-1's
+    # entire scratch dir (shuffle + checkpoint blocks), so the incremental
+    # phase starts from zero scratch — the cluster analog is per-job scratch
+    spark.stop()
+    spark = get_spark(
+        "minhash-sf1-bench-incr",
+        extra_conf={"spark.cleaner.periodicGC.interval": "2min"},
+    )
+    docs = bench.corpus_parquet(spark, sf_dir, amplify).select("doc_id", "text")
     incr = incremental(
         spark, docs.select(F.col("doc_id").alias("url"), "text")
     )
@@ -167,6 +202,7 @@ def main() -> None:
                 "dedup_e2e": e2e,
                 "incremental": incr,
                 "peak_tree_rss_gb": round(peak / 2**30, 2),
+                "peak_scratch_gb": round(sampler.peak_scratch / 2**30, 2),
             }
         )
     )
