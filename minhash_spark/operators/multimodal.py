@@ -9,8 +9,12 @@ Huffman, spectral-selection + successive-approximation scans, dequantize,
 IDCT, 3-component YCbCr, sampling factors, restart markers); and PNG goes
 through a full container + from-scratch RFC 1951 inflate + unfilter path
 (operators/png.py: 8-bit gray/GA/RGB/RGBA/palette, stored/fixed/
-dynamic-Huffman blocks). Codecs this container genuinely cannot handle
-(interlaced PNG, MP3, video) are STUBBED behind NotImplementedError
+dynamic-Huffman blocks); and animated GIF — the multi-frame "video"
+container — through a from-scratch variable-width LZW + frame-composition
+decoder (operators/gif.py: sub-block framing, dictionary growth/clear,
+KwKwK, interlacing, left/top sub-rectangle composition). Codecs this
+container genuinely cannot handle
+(interlaced PNG, MP3, real video codecs) are STUBBED behind NotImplementedError
 — with ``fake_decode`` as the deterministic stand-in so the Spark-side
 plumbing (schema, partitioning, UDF signature, batch shape) stays real and
 tested either way. Swapping in Pillow/torchaudio later only replaces the
@@ -126,8 +130,10 @@ def decode_media(data: bytes, media_type: str):
     environment can handle — uncompressed BMP24/WAV-PCM16, baseline +
     progressive JPEG (operators/jpeg.py: multi-scan decoder incl.
     3-component YCbCr, sampling factors, restart markers, Annex-G
-    progressive scans) and PNG (operators/png.py: full chunk/zlib/RFC 1951
-    inflate/unfilter path, 8-bit gray/GA/RGB/RGBA/palette). MP3 / video /
+    progressive scans), PNG (operators/png.py: full chunk/zlib/RFC 1951
+    inflate/unfilter path, 8-bit gray/GA/RGB/RGBA/palette) and animated GIF
+    (operators/gif.py: variable-width LZW, frame composition, interlacing —
+    the multi-frame "video" container). MP3 / real video codecs /
     interlaced PNG still raise (they need external codec libraries — swap
     in Pillow/ffmpeg where available)."""
     if media_type == "bmp":
@@ -142,6 +148,10 @@ def decode_media(data: bytes, media_type: str):
         from .png import decode_png
 
         return decode_png(data)
+    if media_type == "gif":
+        from .gif import decode_gif
+
+        return decode_gif(data)
     raise NotImplementedError(
         f"decoding {media_type!r} requires external codec libraries "
         "(Pillow / ffmpeg / torchaudio); use fake_decode for plumbing tests"
@@ -563,3 +573,84 @@ def extract_media_features(
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA])
 
     return src.mapInPandas(_extract, MEDIA_META_SCHEMA)
+
+
+def gif_payload_udf(w: int, h: int, n_frames: int, interlace: bool = True):
+    """pandas UDF: text → ANIMATED GIF89a of n_frames w×h indexed frames;
+    frame f's pixel (r, c) INDEX is cycled text byte (f·w·h + r·w + c),
+    resolved through the fixed oracle palette. Real LZW compression
+    (operators/gif.py); interlace=True routes every frame through the
+    4-pass row ordering so the decoder's deinterlacer is on the hot path."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .gif import encode_gif
+
+    pal = _oracle_palette()
+    npx = w * h
+
+    @pandas_udf(BinaryType())
+    def _gif(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            px = cycle_bytes(t, n_frames * npx)
+            frames = [
+                px[f * npx : (f + 1) * npx].reshape(h, w)
+                for f in range(n_frames)
+            ]
+            out.append(encode_gif(frames, pal, interlace=interlace))
+        return pd.Series(out)
+
+    return _gif
+
+
+GIF_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("min_px", LongType()),
+        StructField("max_px", LongType()),
+    ]
+)
+
+
+def gif_frame_stats(
+    df: DataFrame, media_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL multi-frame decode: walk the GIF container (LZW decompress,
+    deinterlace, compose onto the logical screen), resolve indices through
+    the global palette, and emit one row per frame with per-channel integer
+    sums — the keyframe-extraction surface over a genuinely compressed
+    multi-frame bitstream. Integer outputs only, exact oracle compare."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(media_col).alias("media"))
+
+    def _f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif import decode_gif
+
+        for pdf in batches:
+            out = []
+            for did, data in zip(pdf["doc_id"], pdf["media"]):
+                frames, pal = decode_gif(bytes(data))
+                for fi, idx in enumerate(frames):
+                    rgb = pal[idx].astype(np.int64)  # (h, w, 3)
+                    out.append(
+                        (
+                            did,
+                            fi,
+                            idx.shape[1],
+                            idx.shape[0],
+                            int(rgb[:, :, 0].sum()),
+                            int(rgb[:, :, 1].sum()),
+                            int(rgb[:, :, 2].sum()),
+                            int(rgb.min()),
+                            int(rgb.max()),
+                        )
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in GIF_FRAME_SCHEMA])
+
+    return src.mapInPandas(_f, GIF_FRAME_SCHEMA)

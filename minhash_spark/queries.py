@@ -1054,6 +1054,60 @@ FROM samples
 """
 
 
+_GIF_W, _GIF_H, _GIF_FRAMES = 16, 16, 4
+
+
+def q_multimodal_gif_frames(spark, sf_dir):
+    """Real multi-frame container decode, value-oracled: text bytes → 4-frame
+    animated GIF (REAL LZW compression + interlaced rows, operators/gif.py)
+    → REAL decode (sub-block walk, variable-width LZW, deinterlace, palette
+    lookup) → one row per frame with per-channel sums. This replaces the
+    fixed-stride byte-slicing stand-in (`multimodal_frame_sample`) with an
+    actual compressed video-style bitstream; GIF+LZW is lossless, so the
+    oracle recomputes every frame's stats directly from the cycled text
+    bytes and the fixed palette formula."""
+    from .operators.multimodal import gif_payload_udf, gif_frame_stats
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = d.select(
+        "doc_id",
+        gif_payload_udf(_GIF_W, _GIF_H, _GIF_FRAMES)("text").alias("payload"),
+    )
+    return gif_frame_stats(payloads)
+
+
+_GIF_NPX = _GIF_W * _GIF_H
+SQL_MULTIMODAL_GIF_FRAMES = f"""
+WITH codes AS (
+  SELECT doc_id,
+    list_transform(regexp_split_to_array(text, ''), c -> unicode(c)) AS cs,
+    length(text) AS n
+  FROM documents
+), fr AS (
+  SELECT doc_id, f AS frame_idx,
+    CASE WHEN n = 0 THEN list_transform(range(0, {_GIF_NPX}), j -> 0)
+         ELSE list_transform(range(0, {_GIF_NPX}),
+                             j -> cs[((f * {_GIF_NPX} + j) % n) + 1]) END AS idx
+  FROM codes CROSS JOIN (SELECT unnest(range(0, {_GIF_FRAMES})) AS f)
+), ch AS (
+  SELECT doc_id, frame_idx,
+    idx AS r,
+    list_transform(idx, i -> (i * 7) % 256) AS g,
+    list_transform(idx, i -> 255 - i) AS b
+  FROM fr
+)
+SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+  {_GIF_W}::BIGINT AS width,
+  {_GIF_H}::BIGINT AS height,
+  list_sum(r)::BIGINT AS sum_r,
+  list_sum(g)::BIGINT AS sum_g,
+  list_sum(b)::BIGINT AS sum_b,
+  least(list_min(r), list_min(g), list_min(b))::BIGINT AS min_px,
+  greatest(list_max(r), list_max(g), list_max(b))::BIGINT AS max_px
+FROM ch
+"""
+
+
 # --------------------------------------------------------------------------
 # relational coverage (scans, joins, windows, aggregation, anti join, events)
 # --------------------------------------------------------------------------
@@ -1648,6 +1702,7 @@ QUERIES = {
     "multimodal_png_palette": q_multimodal_png_palette,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_gif_frames": q_multimodal_gif_frames,
     "tpch_q1_pricing": q_tpch_q1_pricing,
     "segment_revenue_broadcast_join": q_segment_revenue_broadcast_join,
     "top3_orders_per_customer": q_top3_orders_per_customer,
@@ -1703,6 +1758,7 @@ ORACLE_SQL = {
     "multimodal_png_palette": SQL_MULTIMODAL_PNG_PALETTE,
     "multimodal_audio_features": SQL_MULTIMODAL_AUDIO_FEATURES,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
+    "multimodal_gif_frames": SQL_MULTIMODAL_GIF_FRAMES,
     "tpch_q1_pricing": SQL_TPCH_Q1_PRICING,
     "segment_revenue_broadcast_join": SQL_SEGMENT_REVENUE_BROADCAST_JOIN,
     "top3_orders_per_customer": SQL_TOP3_ORDERS_PER_CUSTOMER,
