@@ -2,10 +2,12 @@
 parser (after operators/jpeg.py) for opaque binary media columns.
 
 Decoder: full PNG path for 8-bit gray / gray+alpha / RGB / RGBA / palette
-(color type 3, PLTE-resolved to RGB), non-interlaced — chunk framing + CRC
-check, zlib container (header + Adler-32), a from-scratch RFC 1951 inflate
-(stored, fixed-Huffman and dynamic-Huffman blocks), and scanline
-unfiltering (None/Sub/Up/Average/Paeth). Encoder: the same image types as
+(color type 3, PLTE-resolved to RGB), plain AND Adam7-interlaced (seven
+independently-filtered sub-images scattered onto the pass grid) — chunk
+framing + CRC check, zlib container (header + Adler-32), a from-scratch
+RFC 1951 inflate (stored, fixed-Huffman and dynamic-Huffman blocks), and
+scanline unfiltering (None/Sub/Up/Average/Paeth). Encoder: the same image
+types (either interlacing) as
 zlib STORED-block streams with filter 0 (palette via encode_png_palette) —
 a byte-exact lossless round-trip, which is what lets the Spark query
 surface hold the codec to a hash-checked value oracle
@@ -14,8 +16,8 @@ discipline as the JPEG codec. The inflate also decodes externally-produced
 streams (tests cross-check against stdlib zlib.compress output at several
 levels, which exercises the fixed and dynamic Huffman paths).
 
-Same capability-boundary honesty as jpeg.py: bit depths other than 8 and
-interlacing raise NotImplementedError explicitly.
+Same capability-boundary honesty as jpeg.py: bit depths other than 8
+raise NotImplementedError explicitly.
 
 References: RFC 1950 (zlib), RFC 1951 (DEFLATE), RFC 2083 / W3C PNG spec.
 Like the reference repo's sketch constants, the Huffman length/distance
@@ -347,6 +349,38 @@ def _iter_chunks(data: bytes):
     raise ValueError("png: missing IEND")
 
 
+# Adam7 pass grid (PNG spec §8.2): (x_off, y_off, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _deinterlace(raw: bytes, w: int, h: int, channels: int) -> np.ndarray:
+    """Adam7: the decompressed stream is SEVEN independently-filtered
+    sub-images (each with its own scanline filter bytes); unfilter each and
+    scatter its samples onto the pass grid → (h, w·channels) uint8."""
+    out = np.zeros((h, w, channels), dtype=np.uint8)
+    off = 0
+    for x_off, y_off, x_step, y_step in _ADAM7:
+        pw = (w - x_off + x_step - 1) // x_step
+        ph = (h - y_off + y_step - 1) // y_step
+        if pw <= 0 or ph <= 0:
+            continue  # pass empty for this image size
+        n = ph * (pw * channels + 1)
+        sub = _unfilter(raw[off : off + n], ph, pw * channels, channels)
+        off += n
+        out[y_off::y_step, x_off::x_step] = sub.reshape(ph, pw, channels)
+    if off != len(raw):
+        raise ValueError(f"png: interlaced stream has {len(raw) - off} trailing bytes")
+    return out.reshape(h, w * channels)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → uint8 array: (h, w) for grayscale, (h, w, c) otherwise."""
     if data[:8] != PNG_SIG:
@@ -370,11 +404,14 @@ def decode_png(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"png: color type {ctype_i} unsupported")
     if comp != 0 or filt != 0:
         raise ValueError("png: unknown compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("png: Adam7 interlacing unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"png: unknown interlace method {interlace}")
     channels = _CHANNELS[ctype_i]
     raw = zlib_decompress(bytes(idat))
-    mat = _unfilter(raw, h, w * channels, channels)
+    if interlace == 1:
+        mat = _deinterlace(raw, w, h, channels)
+    else:
+        mat = _unfilter(raw, h, w * channels, channels)
     if ctype_i == 3:
         # indexed color (PNG spec §4.1.2/11.2.3): one index sample per
         # pixel, resolved through the PLTE lookup table to RGB
@@ -398,9 +435,23 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray) -> bytes:
+def _interlaced_raw(arr: np.ndarray) -> bytes:
+    """(h, w, channels) → Adam7 pass stream, filter 0 per scanline."""
+    h, w = arr.shape[:2]
+    parts = bytearray()
+    for x_off, y_off, x_step, y_step in _ADAM7:
+        sub = arr[y_off::y_step, x_off::x_step]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            parts += b"\x00" + row.tobytes()
+    return bytes(parts)
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
     """uint8 image — (h, w), (h, w, 2), (h, w, 3) or (h, w, 4) — → PNG with
-    STORED zlib blocks and filter 0 (byte-exact round-trip)."""
+    STORED zlib blocks and filter 0 (byte-exact round-trip); interlace=True
+    emits the Adam7 seven-pass layout."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         h, w, channels = img.shape[0], img.shape[1], 1
@@ -409,11 +460,18 @@ def encode_png(img: np.ndarray) -> bytes:
     else:
         raise ValueError(f"png: unsupported image shape {img.shape}")
     ctype_i = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    flat = img.reshape(h, w * channels)
-    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    arr = img.reshape(h, w, channels)
+    if interlace:
+        raw = _interlaced_raw(arr)
+    else:
+        flat = arr.reshape(h, w * channels)
+        raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
     return (
         PNG_SIG
-        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype_i, 0, 0, 0))
+        + _chunk(
+            b"IHDR",
+            struct.pack(">IIBBBBB", w, h, 8, ctype_i, 0, 0, int(interlace)),
+        )
         + _chunk(b"IDAT", zlib_compress_stored(raw))
         + _chunk(b"IEND", b"")
     )

@@ -129,17 +129,18 @@ def test_decoder_error_paths():
     bad = good[:idx] + bytes([good[idx] ^ 0xFF]) + good[idx + 1 :]
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bad)
-    # 16-bit depth / palette / interlace are honest capability boundaries
+    # 16-bit depth is an honest capability boundary; interlace methods
+    # other than none(0)/Adam7(1) don't exist in the spec
     hdr16 = PNG_SIG + _chunk(
         b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     ) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="bit depth"):
         decode_png(hdr16)
-    interlaced = PNG_SIG + _chunk(
-        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    bad_interlace = PNG_SIG + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)
     ) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="interlac"):
-        decode_png(interlaced)
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(bad_interlace)
     with pytest.raises(ValueError, match="LEN/NLEN"):
         inflate(b"\x01\x05\x00\x00\x00hello")  # NLEN not complement
 
@@ -247,3 +248,53 @@ def test_png_palette_error_paths():
     )
     with pytest.raises(ValueError, match="index out of range"):
         decode_png(trimmed)
+
+
+# ---------- Adam7 interlacing ------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape", [(16, 16), (16, 16, 3), (13, 7), (9, 11, 4), (1, 1), (3, 2)]
+)
+def test_png_adam7_roundtrip_exact(shape):
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, shape, dtype=np.uint8)
+    blob = encode_png(img, interlace=True)
+    # IHDR interlace byte really set
+    assert blob[8 + 8 + 12] == 1
+    assert np.array_equal(decode_png(blob), img)
+
+
+def test_png_adam7_matches_plain_decode():
+    rng = np.random.RandomState(29)
+    img = rng.randint(0, 256, (24, 17, 3), dtype=np.uint8)
+    plain = decode_png(encode_png(img))
+    inter = decode_png(encode_png(img, interlace=True))
+    assert np.array_equal(plain, inter)
+
+
+def test_png_adam7_filtered_subimages_decode():
+    # each Adam7 sub-image carries its own filter bytes: re-filter pass rows
+    # with Up (2) and check the decoder unfilters per-pass, not globally
+    from minhash_spark.operators.png import _ADAM7, _chunk, PNG_SIG
+    from minhash_spark.operators.png import zlib_compress_stored
+
+    rng = np.random.RandomState(31)
+    h, w = 10, 10
+    img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+    parts = bytearray()
+    for x_off, y_off, x_step, y_step in _ADAM7:
+        sub = img[y_off::y_step, x_off::x_step]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        prev = np.zeros(sub.shape[1], dtype=np.int64)
+        for row in sub.astype(np.int64):
+            parts += b"\x02" + ((row - prev) & 0xFF).astype(np.uint8).tobytes()
+            prev = row
+    blob = (
+        PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1))
+        + _chunk(b"IDAT", zlib_compress_stored(bytes(parts)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(blob), img)
