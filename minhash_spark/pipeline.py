@@ -6,9 +6,21 @@ Stage outputs are Parquet directories under `out_dir` (Iceberg tables when a
 catalog is configured; same layout either way):
 
     signatures/   (url, ds, minhash)          partitioned by ds
+    candidates/   (url_a, url_b)
     pairs/        (url_a, url_b, est_jaccard)
     clusters/     (url, cluster_id)
     metrics/      one JSON line per stage run (lineage checkpoint)
+
+Candidate generation and verification are SEPARATE stages (each one job,
+each ending in a parquet write) on purpose: the two biggest shuffles in the
+whole pipeline — the cross-band pair dedup groupBy and the two
+signature-verify joins — then never coexist in one job's scratch. In a
+single fused job the full lineage pins every shuffle file until the job
+ends, so peak shuffle-scratch is the SUM of the stages (measured: a fused
+5M-doc run needs >120 GB local-dir scratch and died on this box, while the
+staged run peaks at the largest single stage). At 100 TB each stage is its
+own spark-submit against the previous stage's table, which is also what
+makes the pipeline resumable mid-corpus.
 
 Resumability = the reference's snapshot semantics re-expressed with table
 immutability (get_global_sketch / version list,
@@ -142,8 +154,13 @@ class DedupPipeline:
         )
         return out
 
-    def compute_pairs(self, signatures_path: str, force: bool = False) -> str:
-        out = os.path.join(self.out_dir, "pairs")
+    def compute_candidates(self, signatures_path: str, force: bool = False) -> str:
+        """Banding + tiered pair enumeration + cross-band dedup, ending in a
+        parquet write of the distinct candidate set. Kept as its own job so
+        the pair-dedup shuffle (the widest in the pipeline: one row per
+        band collision before the groupBy) is released before verification
+        starts — see the module docstring's scratch argument."""
+        out = os.path.join(self.out_dir, "candidates")
         if _exists(out) and not force:
             return out
         t0 = time.time()
@@ -151,8 +168,7 @@ class DedupPipeline:
         bands = bands_table(sigs, self.cfg)
         handles: list = []
         cands = candidate_pairs(bands, self.cfg, handles_out=handles)
-        verified = verify_pairs(cands, sigs, self.cfg)
-        verified.write.mode("overwrite").parquet(out)
+        cands.write.mode("overwrite").parquet(out)
         # stats AFTER the write, FROM the persisted multi-bucket table the
         # pair enumerator cached and populated during the write — a cache
         # read, not a second banding job (singleton buckets are excluded:
@@ -162,9 +178,31 @@ class DedupPipeline:
             h.unpersist()
         n = self.spark.read.parquet(out).count()
         self._log_metric(
-            "pairs", n_verified_pairs=n, seconds=time.time() - t0, **stats
+            "candidates", n_candidate_pairs=n, seconds=time.time() - t0, **stats
         )
         return out
+
+    def compute_verified(
+        self, signatures_path: str, candidates_path: str, force: bool = False
+    ) -> str:
+        """Jaccard verification of a materialized candidate set: two
+        shuffle-hash joins against the signature table, filtered at
+        cfg.threshold."""
+        out = os.path.join(self.out_dir, "pairs")
+        if _exists(out) and not force:
+            return out
+        t0 = time.time()
+        sigs = self.spark.read.parquet(signatures_path).select("url", "minhash")
+        cands = self.spark.read.parquet(candidates_path)
+        verified = verify_pairs(cands, sigs, self.cfg)
+        verified.write.mode("overwrite").parquet(out)
+        n = self.spark.read.parquet(out).count()
+        self._log_metric("pairs", n_verified_pairs=n, seconds=time.time() - t0)
+        return out
+
+    def compute_pairs(self, signatures_path: str, force: bool = False) -> str:
+        cand_path = self.compute_candidates(signatures_path, force=force)
+        return self.compute_verified(signatures_path, cand_path, force=force)
 
     def compute_clusters(self, pairs_path: str, force: bool = False) -> str:
         out = os.path.join(self.out_dir, "clusters")

@@ -1,11 +1,20 @@
 """sf1-scale native run: the engine's intermediates at ~50× the bench
 corpus. Amplifies sf0.1 to 5M docs (amplify 1000 — same construction and
-ground truth as the headline bench corpus), runs (A) the full dedup e2e
-(signatures → bands → tiered candidates → verify → connected components)
-and (B) a 5-batch incremental ingest into a 4096-bucket store, while a
-sampler thread tracks the peak resident set across the driver, the local
-JVM and every Python worker — the OOM/spill-collapse evidence a 50× run
-is for.
+ground truth as the headline bench corpus), runs (A) the full dedup e2e as
+FOUR STAGED JOBS (signatures → candidates → verify → connected components,
+each ending in a parquet write, each in a fresh SparkContext) and (B) a
+5-batch incremental ingest into a 4096-bucket store, while a sampler thread
+tracks peak resident set (driver + JVM + every Python worker) and peak
+local-dir scratch — the OOM/spill-collapse evidence a 50× run is for.
+
+Why staged: a fused single-job e2e pins every shuffle file in one lineage,
+so peak scratch is the SUM of the pair-dedup groupBy (~22 GB at 5M docs)
+and the verify joins (~31 GB) plus checkpoint blocks — measured >120 GB,
+which killed the fused run on this box's 126 GB tmpfs local-dir. The staged
+form (pipeline.py's compute_candidates/compute_verified split) bounds peak
+scratch at the largest single stage; the context restart between stages is
+the local[32] analog of "each stage is its own spark-submit", which is how
+the pipeline runs against a real 100 TB corpus anyway.
 
 Usage: SPARK_GRAFT_CPUS=32 python scripts/bench_sf1.py [sf_dir] [amplify]
 Prints one JSON line.
@@ -101,39 +110,81 @@ class PeakSampler(threading.Thread):
         return self.peak
 
 
-def dedup_e2e(spark, docs) -> dict:
-    n_docs = docs.count()
+# shorten the cleaner's periodic driver GC (default 30 min): shuffle files
+# are deleted only after their dependency objects are collected, and a
+# 5M-doc stage writes scratch faster than the default reclaims it
+_CONF = {"spark.cleaner.periodicGC.interval": "2min"}
+
+
+def _fresh(name: str):
+    return get_spark(name, extra_conf=_CONF)
+
+
+def dedup_e2e_staged(sf_dir: str, amplify: int, work: str) -> dict:
+    """The staged e2e: one fresh context per stage; stopping a context
+    deletes its entire local-dir scratch, so peak scratch = max over stages
+    instead of their sum. Stage walls exclude context startup (reported
+    separately as overhead_sec so total accounting stays honest)."""
+    stages: dict[str, float] = {}
+    t_all = time.time()
+
+    spark = _fresh("sf1-signatures")
+    docs = bench.corpus_parquet(spark, sf_dir, amplify).select("doc_id", "text")
+    n_docs = docs.count()  # corpus materialization outside the timed region
     t0 = time.time()
-    sigs = with_minhash_signature(docs, CFG, packed=True).select(
-        "doc_id", "minhash"
-    ).persist()
+    sigs = with_minhash_signature(docs, CFG, packed=True).select("doc_id", "minhash")
+    sigs.write.mode("overwrite").parquet(f"{work}/signatures")
+    stages["signatures"] = round(time.time() - t0, 1)
+    spark.stop()
+
+    spark = _fresh("sf1-candidates")
+    t0 = time.time()
+    sigs = spark.read.parquet(f"{work}/signatures")
     bands = bands_table(sigs, CFG, id_col="doc_id")
     cands = candidate_pairs(bands, CFG, id_col="doc_id")
-    # localCheckpoint (eager) instead of persist: truncating the lineage here
-    # lets the ContextCleaner delete the signature/band/verify shuffle files
-    # once the upstream refs are released — with a plain persist the full
-    # lineage pins every shuffle for recompute and scratch grows to ~100 GB
-    # at 5M docs (= the tmpfs OOM this run exists to catch)
-    verified = verify_pairs(cands, sigs, CFG, id_col="doc_id").localCheckpoint()
-    sigs.unpersist()
+    cands.write.mode("overwrite").parquet(f"{work}/candidates")
     release_persisted()
-    spark.sparkContext._jvm.System.gc()  # reap dead shuffles before CC
-    clusters = connected_components(verified)
-    n_clustered = clusters.count()
-    wall = round(time.time() - t0, 1)
+    stages["candidates"] = round(time.time() - t0, 1)
+    n_cands = spark.read.parquet(f"{work}/candidates").count()
+    spark.stop()
 
+    spark = _fresh("sf1-verify")
+    t0 = time.time()
+    sigs = spark.read.parquet(f"{work}/signatures")
+    cands = spark.read.parquet(f"{work}/candidates")
+    verified = verify_pairs(cands, sigs, CFG, id_col="doc_id")
+    verified.write.mode("overwrite").parquet(f"{work}/pairs")
+    stages["verify"] = round(time.time() - t0, 1)
+    spark.stop()
+
+    spark = _fresh("sf1-cc")
+    t0 = time.time()
+    pairs = spark.read.parquet(f"{work}/pairs")
+    clusters = connected_components(pairs)
+    n_clustered = clusters.count()
+    stages["cc"] = round(time.time() - t0, 1)
+
+    # recall against the amplified-corpus ground truth (outside the timing)
     group = lambda c: F.struct(
         F.pmod(c, F.lit(10_000_000)).alias("base"),
         (c / F.lit(10_000_000 * bench.N_CLONES)).cast("long").alias("mut"),
     )
-    found = verified.where(group(F.col("url_a")) == group(F.col("url_b"))).count()
+    found = pairs.where(group(F.col("url_a")) == group(F.col("url_b"))).count()
+    n_pairs = pairs.count()
+    spark.stop()
+
     n_groups = n_docs // bench.N_CLONES
     expected = n_groups * (bench.N_CLONES * (bench.N_CLONES - 1) // 2)
-    verified.unpersist()
+    wall = round(sum(stages.values()), 1)
+    total = round(time.time() - t_all, 1)
     return {
         "n_docs": n_docs,
         "wall_sec": wall,
+        "stages": stages,
+        "overhead_sec": round(total - wall, 1),
         "docs_per_sec": round(n_docs / wall, 1),
+        "n_candidate_pairs": n_cands,
+        "n_verified_pairs": n_pairs,
         "n_clustered_docs": n_clustered,
         "recall": round(found / expected, 5) if expected else 1.0,
     }
@@ -166,31 +217,22 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     amplify = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 
-    # shorten the cleaner's periodic driver GC (default 30 min): shuffle
-    # files are only deleted after their dependency objects are collected,
-    # and a 5M-doc run writes scratch faster than the default reclaims it
-    spark = get_spark(
-        "minhash-sf1-bench",
-        extra_conf={"spark.cleaner.periodicGC.interval": "2min"},
-    )
     sampler = PeakSampler()
     sampler.start()
 
-    docs = bench.corpus_parquet(spark, sf_dir, amplify).select("doc_id", "text")
-    e2e = dedup_e2e(spark, docs)
-    print(f"# e2e {e2e}", file=sys.stderr, flush=True)
-    # fresh session between phases: stopping the context deletes phase-1's
-    # entire scratch dir (shuffle + checkpoint blocks), so the incremental
-    # phase starts from zero scratch — the cluster analog is per-job scratch
-    spark.stop()
-    spark = get_spark(
-        "minhash-sf1-bench-incr",
-        extra_conf={"spark.cleaner.periodicGC.interval": "2min"},
-    )
-    docs = bench.corpus_parquet(spark, sf_dir, amplify).select("doc_id", "text")
-    incr = incremental(
-        spark, docs.select(F.col("doc_id").alias("url"), "text")
-    )
+    work = tempfile.mkdtemp(prefix="bench_sf1_work_", dir="/dev/shm")
+    try:
+        e2e = dedup_e2e_staged(sf_dir, amplify, work)
+        print(f"# e2e {e2e}", file=sys.stderr, flush=True)
+
+        spark = _fresh("sf1-incremental")
+        docs = bench.corpus_parquet(spark, sf_dir, amplify).select("doc_id", "text")
+        incr = incremental(
+            spark, docs.select(F.col("doc_id").alias("url"), "text")
+        )
+        spark.stop()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     peak = sampler.stop()
     print(
         json.dumps(

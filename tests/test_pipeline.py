@@ -311,3 +311,22 @@ def test_resume_refuses_legacy_array_signature_format(
     # nothing was appended: the legacy dir still holds only the legacy rows
     got = spark.read.parquet(f"{out_dir}/signatures")
     assert got.schema["minhash"].dataType.simpleString() != "binary"
+
+
+def test_staged_candidates_materialized_and_consistent(spark, result):
+    """The candidate stage is its own job with its own parquet output (the
+    scratch-bounding split — pipeline.py module docstring): candidates/ must
+    exist in out_dir and the verified pair set must be a subset of it."""
+    import os
+
+    cand_path = os.path.join(result.out_dir, "candidates")
+    assert os.path.exists(os.path.join(cand_path, "_SUCCESS"))
+    cands = {
+        (r["url_a"], r["url_b"])
+        for r in spark.read.parquet(cand_path).collect()
+    }
+    pairs = {
+        (r["url_a"], r["url_b"])
+        for r in spark.read.parquet(result.pairs_path).collect()
+    }
+    assert pairs and pairs <= cands
