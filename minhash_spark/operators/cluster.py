@@ -54,6 +54,7 @@ def connected_components(
         num_partitions = max(min(par, 8), n_edges // 500_000 + 1)
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     prev_broadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_adaptive = spark.conf.get("spark.sql.adaptive.enabled")
     converged = False
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
@@ -63,6 +64,13 @@ def connected_components(
         # hash table of every label EVERY iteration (a serial ~seconds barrier
         # that dominates the loop on small-to-mid graphs and grows with labels)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # AQE OFF inside the loop: every per-round query here runs over
+        # already-materialized checkpoints at a fixed, deliberately small
+        # partition count, so AQE has nothing to coalesce or re-join — it
+        # only adds a per-shuffle re-planning barrier to each of the
+        # ~2·rounds tiny jobs (measured as pure driver latency on the
+        # dup-pair graphs this loop sees).
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         # the loop probes neighbors through e.v, so partition the edge table by v
         # ONCE — labels stay partitioned by u (groupBy output), so the iteration
         # join and the label update join both line up with zero per-round
@@ -75,16 +83,23 @@ def connected_components(
         sym = sym.repartition(num_partitions, "v").localCheckpoint()
         pre.unpersist()
 
+        # FUSED FIRST ROUND. With the identity labelling labels₀(u) = u, round
+        # 1 of the propagation reduces to new_label(u) = min(u, min_{(u,v)∈E} v)
+        # — one aggregation over the symmetric edge set, no labels table, no
+        # join, and no separate vertex-set distinct (the groupBy keys ARE the
+        # vertex set). Identical labels to running the generic round on
+        # identity labels; also always a change when edges exist (every edge
+        # lowers its larger endpoint), so the convergence probe for round 1
+        # is skipped rather than computed.
         labels = (
-            sym.select(F.col("u"))
-            .distinct()
-            .withColumn("label", F.col("u"))
+            sym.groupBy("u")
+            .agg(F.least(F.col("u"), F.min("v")).alias("label"))
             .localCheckpoint()
         )
 
-        rounds = 0
+        rounds = 1
         prev_ckpt = labels
-        for _ in range(max_iterations):
+        for _ in range(max_iterations - 1):
             rounds += 1
             # smallest label visible from each vertex through one hop
             nbr_min = (
@@ -118,9 +133,11 @@ def connected_components(
                 break
     finally:
         # a failed job mid-loop must not leave the whole session running with
-        # ~num_partitions shuffle partitions and broadcast joins disabled
+        # ~num_partitions shuffle partitions, broadcast joins disabled, or
+        # AQE off
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_broadcast)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_adaptive)
 
     if stats_out is not None:
         stats_out["rounds"] = rounds

@@ -25,52 +25,71 @@ _FNV_PRIME = np.uint64(1099511628211)
 _BITS = np.arange(64, dtype=np.uint64)
 
 
-def simhash_batch(texts, chunk_tokens: int = 1 << 17) -> np.ndarray:
+def simhash_batch(texts) -> np.ndarray:
     """SimHash fingerprints for a batch of texts → uint64[n].
 
-    Vectorized ACROSS the batch: all token occurrences are flattened into one
-    array, FNV-1a hashed via the length-grouped matrix fold
-    (shingles.fnv1a_many), expanded to a (tokens × 64) ±1 sign matrix, and
-    reduced per document with np.add.reduceat. Summing ±1 per OCCURRENCE
-    equals the count-weighted distinct-token form (w·(2b−1) summed over
-    distinct tokens), so values are identical to the per-document loop this
-    replaces. Token chunks are bounded (chunk_tokens × 64 int32 ≈ 32 MB) so
-    32 concurrent workers don't blow the cache/DRAM budget; per-doc sums fold
-    across chunk boundaries (addition is associative)."""
+    Fully vectorized ACROSS the batch (values identical to the per-document
+    definition — sign of the count-weighted per-bit sum over token
+    occurrences, w·(2b−1) summed over distinct tokens):
+
+    - Normalized docs are joined into ONE byte buffer with single-space
+      separators (normalized text has no leading/trailing/double spaces, so
+      every token boundary — within or between docs — is exactly one 0x20
+      byte). Token starts/lengths fall out of one np.nonzero over the buffer;
+      no per-token Python objects are ever built.
+    - FNV-1a runs per length-group with a fancy-indexed (n_tokens × L) byte
+      gather + L-step column fold — the same arithmetic as
+      shingles.fnv1a_many, minus the b"".join of per-token bytes.
+    - The per-bit sums use np.unpackbits (uint8 0/1 matrix, 8× narrower than
+      the old ±1 int32 sign matrix — the memory-traffic reduction is what
+      keeps 32 concurrent workers off the DRAM wall) + one np.add.reduceat
+      per batch. The sign test `sum(±1) > 0` becomes `2·ones > count`.
+    """
     n = len(texts)
-    counts = np.zeros(n, dtype=np.int64)
-    flat: list[bytes] = []
-    for i, t in enumerate(texts):
-        toks = normalize_text(t).split(" ")
-        if toks == [""]:
-            continue
-        counts[i] = len(toks)
-        flat.extend(tok.encode("utf-8") for tok in toks)
     out = np.zeros(n, dtype=np.uint64)
-    if not flat:
+    norms: list[bytes] = []
+    idx: list[int] = []
+    for i, t in enumerate(texts):
+        s = normalize_text(t)
+        if s:
+            norms.append(s.encode("utf-8"))
+            idx.append(i)
+    if not norms:
         return out
-    H = fnv1a_many(flat)
-    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
-    nonempty = counts > 0
-    doc_starts = starts[nonempty]
-    v = np.zeros((int(nonempty.sum()), 64), dtype=np.int64)
-    total = H.shape[0]
-    pos = 0
-    while pos < total:
-        end = min(pos + chunk_tokens, total)
-        signed = (
-            ((H[pos:end, None] >> _BITS[None, :]) & np.uint64(1)).astype(np.int32)
-        )
-        signed = 2 * signed - 1
-        first = int(np.searchsorted(doc_starts, pos, side="right")) - 1
-        last = int(np.searchsorted(doc_starts, end - 1, side="right")) - 1
-        seg_starts = np.maximum(doc_starts[first : last + 1], pos) - pos
-        v[first : last + 1] += np.add.reduceat(signed, seg_starts, axis=0)
-        pos = end
-    fp = ((v > 0).astype(np.uint64) * (np.uint64(1) << _BITS)[None, :]).sum(
-        axis=1, dtype=np.uint64
-    )
-    out[nonempty] = fp
+    lens = np.fromiter((len(b) for b in norms), dtype=np.int64, count=len(norms))
+    buf = np.frombuffer(b" ".join(norms), dtype=np.uint8)
+    offs = np.concatenate([[0], np.cumsum(lens + 1)])[:-1]  # doc start offsets
+    spaces = np.nonzero(buf == 0x20)[0]
+    tok_starts = np.concatenate([[0], spaces + 1])
+    tok_lens = np.concatenate([spaces, [buf.shape[0]]]) - tok_starts
+    # tokens per doc = spaces strictly inside the doc + 1 (the joining
+    # separator at offs+lens is excluded by the strict searchsorted bound)
+    counts = (
+        np.searchsorted(spaces, offs + lens) - np.searchsorted(spaces, offs)
+    ) + 1
+
+    H = np.empty(tok_starts.shape[0], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        order = np.argsort(tok_lens, kind="stable")
+        sorted_lens = tok_lens[order]
+        uniq = np.unique(sorted_lens)
+        bounds = np.searchsorted(sorted_lens, uniq)
+        for k, L in enumerate(uniq):
+            lo = bounds[k]
+            hi = bounds[k + 1] if k + 1 < len(uniq) else len(sorted_lens)
+            ids = order[lo:hi]
+            mat = buf[tok_starts[ids][:, None] + np.arange(int(L))[None, :]]
+            h = np.full(len(ids), _FNV_OFFSET, dtype=np.uint64)
+            for j in range(int(L)):
+                h = (h ^ mat[:, j].astype(np.uint64)) * _FNV_PRIME
+            H[ids] = h
+
+    seg = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    bits = np.unpackbits(H.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    sums = np.add.reduceat(bits, seg, axis=0, dtype=np.int64)
+    fpbits = (2 * sums) > counts[:, None]
+    fp = (fpbits.astype(np.uint64) << _BITS[None, :]).sum(axis=1, dtype=np.uint64)
+    out[np.array(idx, dtype=np.int64)] = fp
     return out
 
 
@@ -103,6 +122,19 @@ def simhash_candidates(
     n_bands = max_hamming + 1
     width = 64 // n_bands
 
+    # The fingerprint column is consumed by THREE plan branches (the banding
+    # explode and both sides of the Hamming-verify join). Without a persist,
+    # each branch re-evaluates the fingerprint UDF over the full corpus —
+    # measured as two extra concurrent full-scan Python stages per run.
+    # The (id, fp) table is 16 bytes/doc; cache it and evaluate the UDF once.
+    # Registered with the lsh persisted-handle registry so callers that
+    # release_persisted() after materializing reclaim it (same contract as
+    # the enumerator's bucket table).
+    from .lsh import _PERSISTED, tiered_bucket_pairs
+
+    fp_df = fp_df.select(F.col(id_col), F.col(fp_col)).persist()
+    _PERSISTED.append(fp_df)
+
     def _slice(i: int):
         shifted = F.shiftrightunsigned(F.col(fp_col), i * width)
         if width >= 64:  # single band = whole fingerprint, mask overflows long
@@ -114,7 +146,6 @@ def simhash_candidates(
         F.col(id_col),
         F.posexplode(slices).alias("band_id", "band_val"),
     )
-    from .lsh import tiered_bucket_pairs
 
     raw = tiered_bucket_pairs(
         bands,

@@ -100,7 +100,16 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
+    # The corpus side typically arrives as a single small parquet file → one
+    # scan task, which serializes the entire O(n·q) cosine compute on one
+    # core (measured: wall ≈ summed task time). The broadcast join keeps the
+    # corpus un-shuffled by the JOIN, so spreading the scan is the only way
+    # to parallelize the compare loop — one cheap round-robin exchange of the
+    # corpus rows before the compute (guide §2.5: repartition after a
+    # low-parallelism read).
+    par = emb.sparkSession.sparkContext.defaultParallelism
     c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = c.repartition(par)
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))

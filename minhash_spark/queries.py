@@ -1680,9 +1680,7 @@ QUERIES = {
     "token_count_bpe": q_token_count_bpe,
     "quality_features": q_quality_features,
     "lang_id": q_lang_id,
-    "token_jaccard_consecutive": q_token_jaccard_consecutive,
     "ngram3_jaccard_consecutive": q_ngram3_jaccard_consecutive,
-    "ngram_containment_consecutive": q_ngram_containment_consecutive,
     "ngram_decontaminate": q_ngram_decontaminate,
     "vocab_topk": q_vocab_topk,
     "url_canonicalize": q_url_canonicalize,
@@ -1693,11 +1691,11 @@ QUERIES = {
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "srp_ann_pairs": q_srp_ann_pairs,
     "containment_pairs": q_containment_pairs,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_jpeg_roundtrip": q_multimodal_jpeg_roundtrip,
-    "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
     "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
     "multimodal_png_palette": q_multimodal_png_palette,
     "multimodal_audio_features": q_multimodal_audio_features,
@@ -1713,6 +1711,7 @@ QUERIES = {
     "dataset_split_assignment": q_dataset_split_assignment,
     "pii_scrub": q_pii_scrub,
     "probe_store_lookup": q_probe_store_lookup,
+    "incremental_dedup_replay": q_incremental_dedup_replay,
     "minhash_signatures": q_minhash_signatures,
     "minhash_signatures_kwise": q_minhash_signatures_kwise,
     "minhash_signatures_word": q_minhash_signatures_word,
@@ -1720,11 +1719,12 @@ QUERIES = {
     "dedup_keep_list": q_dedup_keep_list,
     "quality_filter": q_quality_filter,
     "simhash_fingerprints": q_simhash_fingerprints,
+    "simhash_candidate_pairs": q_simhash_candidate_pairs,
     "doc_fingerprints": q_doc_fingerprints,
     "near_dup_pairs": q_near_dup_pairs,
-    "simhash_candidate_pairs": q_simhash_candidate_pairs,
-    "srp_ann_pairs": q_srp_ann_pairs,
-    "incremental_dedup_replay": q_incremental_dedup_replay,
+    "token_jaccard_consecutive": q_token_jaccard_consecutive,
+    "ngram_containment_consecutive": q_ngram_containment_consecutive,
+    "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
 }
 
 ORACLE_SQL = {
@@ -1736,9 +1736,7 @@ ORACLE_SQL = {
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "quality_features": SQL_QUALITY_FEATURES,
     "lang_id": SQL_LANG_ID,
-    "token_jaccard_consecutive": SQL_TOKEN_JACCARD_CONSECUTIVE,
     "ngram3_jaccard_consecutive": SQL_NGRAM3_JACCARD_CONSECUTIVE,
-    "ngram_containment_consecutive": SQL_NGRAM_CONTAINMENT_CONSECUTIVE,
     "ngram_decontaminate": SQL_NGRAM_DECONTAMINATE,
     "vocab_topk": SQL_VOCAB_TOPK,
     "url_canonicalize": SQL_URL_CANONICALIZE,
@@ -1749,11 +1747,11 @@ ORACLE_SQL = {
     "embedding_cosine_pairs": SQL_EMBEDDING_COSINE_PAIRS,
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
     "ann_topk_ivf": SQL_ANN_TOPK_IVF,
+    "srp_ann_pairs": SQL_SRP_ANN_PAIRS,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_image_features": SQL_MULTIMODAL_IMAGE_FEATURES,
     "multimodal_jpeg_roundtrip": SQL_MULTIMODAL_JPEG_ROUNDTRIP,
-    "multimodal_jpeg_progressive": SQL_MULTIMODAL_JPEG_ROUNDTRIP,
     "multimodal_png_roundtrip": SQL_MULTIMODAL_PNG_ROUNDTRIP,
     "multimodal_png_palette": SQL_MULTIMODAL_PNG_PALETTE,
     "multimodal_audio_features": SQL_MULTIMODAL_AUDIO_FEATURES,
@@ -1769,6 +1767,7 @@ ORACLE_SQL = {
     "dataset_split_assignment": SQL_DATASET_SPLIT_ASSIGNMENT,
     "pii_scrub": SQL_PII_SCRUB,
     "probe_store_lookup": SQL_PROBE_STORE_LOOKUP,
+    "incremental_dedup_replay": SQL_INCREMENTAL_DEDUP_REPLAY,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_signatures_kwise": SQL_MINHASH_SIGNATURES_KWISE,
     "minhash_signatures_word": SQL_MINHASH_SIGNATURES_WORD,
@@ -1776,9 +1775,10 @@ ORACLE_SQL = {
     "dedup_keep_list": SQL_DEDUP_KEEP_LIST,
     "quality_filter": SQL_QUALITY_FILTER,
     "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
+    "simhash_candidate_pairs": SQL_SIMHASH_CANDIDATE_PAIRS,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
-    "simhash_candidate_pairs": SQL_SIMHASH_CANDIDATE_PAIRS,
-    "srp_ann_pairs": SQL_SRP_ANN_PAIRS,
-    "incremental_dedup_replay": SQL_INCREMENTAL_DEDUP_REPLAY,
+    "token_jaccard_consecutive": SQL_TOKEN_JACCARD_CONSECUTIVE,
+    "ngram_containment_consecutive": SQL_NGRAM_CONTAINMENT_CONSECUTIVE,
+    "multimodal_jpeg_progressive": SQL_MULTIMODAL_JPEG_ROUNDTRIP,
 }
