@@ -87,6 +87,36 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
     return np.unique(_fnv1a_windows(np.frombuffer(norm, dtype=np.uint8), k))
 
 
+def char_shingle_sets_batch(texts, k: int = 5) -> list[np.ndarray]:
+    """char_shingles for a whole batch — identical per-doc values, one
+    FNV-1a sliding-window pass over the batch's concatenated bytes instead
+    of a per-document numpy call chain (strided window view + k column
+    copies per doc). Windows that would cross a document boundary are never
+    emitted: each doc's shingles are the slice [off_d, off_d + len_d - k]
+    of the global window-hash array, exactly the windows the per-doc form
+    hashes. Sub-k docs keep the single whole-text hash; empty docs the
+    empty set."""
+    n = len(texts)
+    norms = [normalize_text(t).encode("utf-8") for t in texts]
+    out: list[np.ndarray] = [None] * n  # type: ignore[list-item]
+    long_idx = [i for i, b in enumerate(norms) if len(b) >= k]
+    for i, b in enumerate(norms):
+        if len(b) == 0:
+            out[i] = np.empty(0, dtype=np.uint64)
+        elif len(b) < k:
+            out[i] = np.array([_fnv1a_bytes(b)], dtype=np.uint64)
+    if long_idx:
+        lens = np.fromiter(
+            (len(norms[i]) for i in long_idx), dtype=np.int64, count=len(long_idx)
+        )
+        buf = np.frombuffer(b"".join(norms[i] for i in long_idx), dtype=np.uint8)
+        H = _fnv1a_windows(buf, k)
+        offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        for j, i in enumerate(long_idx):
+            out[i] = np.unique(H[offs[j] : offs[j] + lens[j] - k + 1])
+    return out
+
+
 def word_shingles(text: str, w: int = 3) -> np.ndarray:
     """Distinct word w-shingle ids: FNV-1a over the utf-8 bytes of w
     consecutive tokens joined by 0x1f."""

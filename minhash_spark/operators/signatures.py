@@ -24,7 +24,7 @@ from pyspark.sql.types import ArrayType, BinaryType, IntegerType
 
 from ..config import DedupConfig
 from ..functions.kernels import min_sketch_batch, sketch_to_int
-from ..functions.shingles import shingle_fn
+from ..functions.shingles import char_shingle_sets_batch, shingle_fn
 
 
 def minhash_signature_udf(cfg: DedupConfig, packed: bool = False):
@@ -45,12 +45,20 @@ def minhash_signature_udf(cfg: DedupConfig, packed: bool = False):
     mh = cfg.minhash
     coeffs = mh.coefficients()
     shingler = shingle_fn(cfg.shingle_mode, cfg.shingle_size)
+    if cfg.shingle_mode == "char":
+        # one FNV pass over the batch's concatenated bytes instead of a
+        # per-document call chain — same per-doc shingle sets (guide §4.2)
+        batch_shingler = lambda texts: char_shingle_sets_batch(
+            texts, cfg.shingle_size
+        )
+    else:
+        batch_shingler = lambda texts: [shingler(t) for t in texts]
 
     if packed:
 
         @pandas_udf(BinaryType())
         def _sig_packed(texts: pd.Series) -> pd.Series:
-            sets = [shingler(t) for t in texts]
+            sets = batch_shingler(list(texts))
             ints = sketch_to_int(min_sketch_batch(sets, mh, coeffs))
             buf = ints.astype("<i4", copy=False).tobytes()
             w = 4 * mh.sketch_size
@@ -62,7 +70,7 @@ def minhash_signature_udf(cfg: DedupConfig, packed: bool = False):
 
     @pandas_udf(ArrayType(IntegerType()))
     def _sig(texts: pd.Series) -> pd.Series:
-        sets = [shingler(t) for t in texts]
+        sets = batch_shingler(list(texts))
         sketches = min_sketch_batch(sets, mh, coeffs)
         return pd.Series(list(sketch_to_int(sketches)))
 

@@ -99,22 +99,28 @@ def verify_pairs(
                 x.cast("int")
             ),
         )
-    # shuffle_hash instead of sort-merge: the joins move the signature
-    # payload (~sketch_size × 4B per row) and a sort-merge join would SORT
-    # those wide rows three times (both inputs of join 1, then the
-    # sig-carrying intermediate for join 2); hashing the signature side
-    # skips every sort — signatures have no exploitable order. The build
-    # side is one sig-table partition per task (bounded by shuffle
-    # parallelism), which is exactly how this join runs on a real cluster.
-    a = sig_df.select(F.col(id_col).alias("url_a"), packed.alias("_sig_a")).hint(
-        "shuffle_hash"
-    )
-    b = sig_df.select(F.col(id_col).alias("url_b"), packed.alias("_sig_b")).hint(
-        "shuffle_hash"
-    )
-    est = estimate_jaccard_udf(cfg.minhash.sketch_size, packed=(sig_type == "binary"))(
-        F.col("_sig_a"), F.col("_sig_b")
-    )
+    # No sort-merge for these joins: a sort-merge would SORT the wide
+    # signature rows (~sketch_size × 4B each) three times (both inputs of
+    # join 1, then the sig-carrying intermediate for join 2) and signatures
+    # have no exploitable order. That used to be pinned with a per-join
+    # shuffle_hash hint; the hint also BLOCKED the broadcast tier, forcing
+    # two full exchanges of the signature table even when it fits in a
+    # broadcast (measured 2.9 s hinted vs 2.0 s unhinted on the sf0.1
+    # bench). The no-sort guarantee now lives in the session conf
+    # (preferSortMergeJoin=false + the AQE SMJ→SHJ local-map threshold,
+    # session.py), which picks broadcast/shuffled-hash from REAL sizes at
+    # any scale instead of hard-coding one strategy here.
+    a = sig_df.select(F.col(id_col).alias("url_a"), packed.alias("_sig_a"))
+    b = sig_df.select(F.col(id_col).alias("url_b"), packed.alias("_sig_b"))
+    # asNondeterministic: the threshold filter references the UDF column, and
+    # the optimizer otherwise duplicates the evaluation below the pushed
+    # filter (guide §4.4) — every pair paid the Arrow round-trip and the
+    # estimator twice (two ArrowEvalPython nodes in the plan). Marking it
+    # non-deterministic pins a single evaluation; the filter still applies,
+    # values unchanged.
+    est = estimate_jaccard_udf(
+        cfg.minhash.sketch_size, packed=(sig_type == "binary")
+    ).asNondeterministic()(F.col("_sig_a"), F.col("_sig_b"))
     return (
         pairs.join(a, "url_a")
         .join(b, "url_b")

@@ -46,6 +46,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Join strategy ladder (guide §3.1): broadcast when a side truly
+        # fits, else shuffled-hash, and only then sort-merge. preferSortMerge
+        # =false lets the static planner pick SHJ when stats allow, and the
+        # AQE local-map threshold converts a planned sort-merge into SHJ at
+        # runtime from REAL partition sizes — the scale-adaptive way to keep
+        # wide payload rows (packed signatures, embeddings) out of sort
+        # buffers at any corpus size, instead of hard-coding a per-join hint
+        # that also blocks the broadcast tier when the side is small.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(256 * 1024 * 1024),
+        )
         # ObjectHashAggregate (collect_list/collect_set) falls back to
         # sort-based aggregation after 128 in-memory keys BY DEFAULT. The
         # remaining collect_list consumer (exact.py's capped member lists —

@@ -71,13 +71,27 @@ def test_candidate_enumeration_has_no_object_hash_aggregate(spark):
     assert "Window" in rep.text  # the count/min bucket window
 
 
-def test_verify_joins_are_hash_not_sort_merge(spark):
+def test_verify_joins_are_hash_not_sort_merge(spark, tmp_path):
     """The signature-attach joins must not sort the wide signature rows —
-    shuffle-hash (or broadcast, when a side fits) only."""
-    sigs = spark.createDataFrame(
-        [(f"u{i}", list(range(128))) for i in range(300)], ["url", "minhash"]
+    broadcast when a side fits, shuffled-hash otherwise. The strategy is now
+    chosen from sizes (session conf: preferSortMergeJoin=false + the AQE
+    SMJ→SHJ local-map threshold) instead of a per-join hint, so the inputs
+    here go through parquet to carry real size statistics (createDataFrame
+    RDDs have none — 8 EiB — and would show a pre-AQE sort-merge that the
+    runtime then rewrites)."""
+    assert spark.conf.get("spark.sql.join.preferSortMergeJoin") == "false"
+    assert (
+        int(spark.conf.get("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"))
+        > 0
     )
-    pairs = spark.createDataFrame([("u1", "u2"), ("u3", "u4")], ["url_a", "url_b"])
+    spark.createDataFrame(
+        [(f"u{i}", list(range(128))) for i in range(300)], ["url", "minhash"]
+    ).write.parquet(str(tmp_path / "sigs"))
+    spark.createDataFrame(
+        [("u1", "u2"), ("u3", "u4")], ["url_a", "url_b"]
+    ).write.parquet(str(tmp_path / "pairs"))
+    sigs = spark.read.parquet(str(tmp_path / "sigs"))
+    pairs = spark.read.parquet(str(tmp_path / "pairs"))
     rep = plan_report(verify_pairs(pairs, sigs, CFG))
     assert "SortMergeJoin" not in rep.text, rep.joins
 
@@ -161,8 +175,17 @@ def test_packed_path_stays_jvm_and_hash_joined(spark):
     assert "ObjectHashAggregate" not in rep.text
 
     # isolate the verify joins from the candidate enumeration (whose
-    # small-tier self-join legitimately reuses the bucket window's sort)
-    pairs = cands.localCheckpoint()
-    rep2 = plan_report(verify_pairs(pairs, sigs, CFG, id_col="doc_id"))
+    # small-tier self-join legitimately reuses the bucket window's sort);
+    # route both verify inputs through parquet so they carry size stats and
+    # the size-based join planning (see test_verify_joins_are_hash_not_
+    # sort_merge) can resolve pre-AQE
+    import tempfile, os
+
+    tdir = tempfile.mkdtemp(prefix="plans_packed_")
+    cands.write.parquet(os.path.join(tdir, "pairs"))
+    sigs.write.parquet(os.path.join(tdir, "sigs"))
+    pairs = spark.read.parquet(os.path.join(tdir, "pairs"))
+    sigs_p = spark.read.parquet(os.path.join(tdir, "sigs"))
+    rep2 = plan_report(verify_pairs(pairs, sigs_p, CFG, id_col="doc_id"))
     assert "SortMergeJoin" not in rep2.text, rep2.joins
     assert set(rep2.python_stages) == {"ArrowEvalPython"}, rep2.python_stages
