@@ -664,7 +664,7 @@ def probe_store(
             .collect()
         ]
         prev_bands = pruned_store_read(spark, band_store, -1, touched)
-    joined = (
+    joined_plan = (
         new_bands.select("band_key", F.col("url").alias("url_a"))
         .join(
             prev_bands.select("band_key", F.col("url").alias("url_b")),
@@ -675,11 +675,41 @@ def probe_store(
         .agg(F.count("*").alias("n_bands"))
         .where(F.col("n_bands") >= cfg.min_band_matches)
         .drop("n_bands")
-    ).localCheckpoint()
-
-    url_keys = _collect_key_filter(
-        joined, _bucket_col("url_b", n_store_buckets), F.xxhash64("url_b")
     )
+    # Tiny-probe fast path: collect the candidate pairs TOGETHER WITH their
+    # JVM-computed sig-store bucket/key columns in ONE job — the pair set of
+    # a probe is candidate pairs against the pruned store, typically a
+    # handful of rows. That replaces the localCheckpoint job + the separate
+    # key-filter distinct/collect job of the generic path (probe latency is
+    # pure micro-job orchestration), and `joined` becomes a local relation
+    # the verify joins can broadcast. Falls back to checkpoint + on-cluster
+    # key collection beyond the same bounded cap the key filter uses.
+    import numpy as np
+
+    probed = joined_plan.select(
+        "url_a",
+        "url_b",
+        _bucket_col("url_b", n_store_buckets).alias("__b"),
+        F.xxhash64("url_b").alias("__k"),
+    )
+    rows = probed.limit(_KEY_PRUNE_MAX_KEYS + 1).collect()
+    if len(rows) <= _KEY_PRUNE_MAX_KEYS:
+        joined = spark.createDataFrame(
+            [(r["url_a"], r["url_b"]) for r in rows],
+            joined_plan.schema,
+        )
+        by_bucket: dict[int, list] = {}
+        for r in rows:
+            by_bucket.setdefault(int(r["__b"]), []).append(r["__k"])
+        url_keys = {
+            b: np.unique(np.array(ks, dtype=np.int64)).view(np.uint64)
+            for b, ks in by_bucket.items()
+        }
+    else:
+        joined = joined_plan.localCheckpoint()
+        url_keys = _collect_key_filter(
+            joined, _bucket_col("url_b", n_store_buckets), F.xxhash64("url_b")
+        )
     if url_keys is not None:
         prev_sigs = pruned_store_read(
             spark, sig_store, -1, list(url_keys), url_keys
