@@ -257,7 +257,9 @@ def _bucket_blooms(df_bucketed: DataFrame, key_col: str) -> dict[str, dict]:
 
 
 def _write_bucket_manifest(
-    batch_dir: str, blooms: dict[str, dict] | None = None
+    batch_dir: str,
+    blooms: dict[str, dict] | None = None,
+    extra: dict | None = None,
 ) -> list[int]:
     """Record which store_bucket partitions a batch actually wrote, next to
     the batch's data (one listing of ONE directory at write time — cheap on
@@ -276,6 +278,8 @@ def _write_bucket_manifest(
     if blooms:
         payload["bloom_k"] = _BLOOM_K
         payload["blooms"] = blooms
+    if extra:
+        payload.update(extra)
     with open(os.path.join(batch_dir, _MANIFEST), "w") as f:
         json.dump(payload, f)
     return buckets
@@ -733,3 +737,120 @@ def probe_store(
     out = verify_pairs(joined, all_sigs, cfg)
     batch_sigs.unpersist()
     return out
+
+
+# ---- store compaction -------------------------------------------------------
+# Every ingested batch adds one batch_id=N directory per store side, each
+# holding up to n_store_buckets small parquet files. Reads prune by BUCKET,
+# so a store of B batches pays O(B) files (and manifest probes) per touched
+# bucket forever — the per-batch file fan-out is the growing cost of
+# wide-batch ingest that bucket/key pruning cannot remove (the reference's
+# analog is its epoch-merge amortization knob `b`,
+# src/parallel/minhash-concurrent.c:494-506). Compaction rewrites the
+# existing batch directories into ONE batch directory per side (same rows,
+# same bucketing, one file per bucket) with a merged manifest and REBUILT
+# per-bucket key Blooms, so later batches/probes read and Bloom-probe one
+# partition per touched bucket instead of B.
+
+_COMPACT_SENTINEL = -1  # probe_store's "exclude nothing" epoch — never reuse
+
+
+def _side_batch_ids(side_dir: str) -> list[int]:
+    if not os.path.isdir(side_dir):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(side_dir)
+        if d.startswith("batch_id=")
+    )
+
+
+def _finish_pending_compaction(side_dir: str) -> None:
+    """Idempotent recovery: a compacted directory's manifest lists the batch
+    dirs it replaces; any of them still present (crash between the compacted
+    rename and the source removal) are removed now, and an un-renamed tmp dir
+    from an interrupted write is discarded."""
+    import shutil
+
+    tmp = os.path.join(side_dir, "_compacting_tmp")
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    for d in list(os.listdir(side_dir)) if os.path.isdir(side_dir) else []:
+        if not d.startswith("batch_id="):
+            continue
+        man = _batch_manifest(side_dir, d)
+        for src in man.get("replaces", []):
+            src_path = os.path.join(side_dir, src)
+            if os.path.isdir(src_path):
+                shutil.rmtree(src_path)
+
+
+def compact_store(
+    spark: SparkSession,
+    store_path: str,
+    min_batches: int = 2,
+) -> dict:
+    """Compact both sides of an incremental store: merge every existing
+    batch_id directory into one compacted batch per side (content-identical
+    row union — no dedup, no re-hashing), one file per store bucket, merged
+    manifest with rebuilt key Blooms. Returns {side: {"merged": n, "id": id}}.
+
+    Call between micro-batches from the ingest driver (the store's existing
+    single-writer contract). Crash-safe in the store's idempotent style:
+    the compacted directory is written under a tmp name and renamed into
+    place before the source directories are removed; the manifest's
+    `replaces` list makes recovery (re-running compact_store, or the next
+    one) finish the removal. Compacted ids are negative and descending
+    (-2, -3, ...) so they can never collide with a foreachBatch epoch id or
+    with probe_store's exclude-nothing sentinel (-1)."""
+    import shutil
+
+    out: dict = {}
+    for side_dir in _store_subdirs(store_path):
+        side = os.path.basename(side_dir)
+        _finish_pending_compaction(side_dir)
+        ids = _side_batch_ids(side_dir)
+        if len(ids) < min_batches:
+            out[side] = {"merged": 0, "id": None}
+            continue
+        new_id = min(_COMPACT_SENTINEL, min(ids)) - 1
+        src_dirs = [f"batch_id={i}" for i in ids]
+        df = spark.read.option("basePath", side_dir).parquet(
+            *[os.path.join(side_dir, d) for d in src_dirs]
+        )
+        data_cols = [c for c in df.columns if c not in ("batch_id",)]
+        merged = df.select(*data_cols)
+        key = "band_key" if "band_key" in df.columns else None
+        tmp = os.path.join(side_dir, "_compacting_tmp")
+        merged.repartition(F.col("store_bucket")).write.mode(
+            "overwrite"
+        ).partitionBy("store_bucket").parquet(tmp)
+        compacted = spark.read.option("basePath", tmp).parquet(tmp)
+        blooms = _bucket_blooms(
+            compacted.select(
+                "store_bucket",
+                (
+                    F.col("band_key") if key else F.xxhash64("url")
+                ).alias("k"),
+            ),
+            "k",
+        )
+        _write_bucket_manifest(tmp, blooms, extra={"replaces": src_dirs})
+        final = os.path.join(side_dir, f"batch_id={new_id}")
+        os.rename(tmp, final)
+        for d in src_dirs:
+            shutil.rmtree(os.path.join(side_dir, d))
+        out[side] = {"merged": len(ids), "id": new_id}
+    return out
+
+
+def maybe_compact_store(
+    spark: SparkSession, store_path: str, max_batches: int = 16
+) -> dict | None:
+    """File-count policy hook for ingest loops: compact when either store
+    side has accumulated more than `max_batches` batch directories."""
+    if any(
+        len(_side_batch_ids(d)) > max_batches for d in _store_subdirs(store_path)
+    ):
+        return compact_store(spark, store_path)
+    return None

@@ -495,3 +495,58 @@ def test_bloom_all_pruned_returns_empty_not_full_scan(spark, tmp_path_factory):
         ["url", "text"],
     )
     assert probe_store(spark, novel, store, CFG).count() == 0
+
+
+def test_compact_store_preserves_content_and_prunes(spark, tmp_path_factory):
+    """Compaction must be a pure file-layout rewrite: probe results are
+    byte-identical before/after, every per-epoch directory collapses into
+    one negative-id compacted batch per side (never -1, probe_store's
+    exclude-nothing sentinel), the rebuilt manifests carry key Blooms, and
+    ingest continues cleanly on the compacted store."""
+    from minhash_spark.streaming.incremental import (
+        _batch_manifest,
+        _side_batch_ids,
+        _store_subdirs,
+        compact_store,
+        maybe_compact_store,
+        probe_store,
+    )
+
+    store = str(tmp_path_factory.mktemp("compact") / "store")
+    pages, _, _ = generate_corpus(120, seed=11)
+    df = spark.createDataFrame(pages).select("url", "text")
+    for e in range(3):
+        part = df.where(F.pmod(F.xxhash64("url"), F.lit(3)) == e)
+        incremental_dedup_batch(
+            spark, part, store, CFG, epoch_id=e, n_store_buckets=4
+        ).count()
+    probe = df.limit(20)
+    before = sorted(
+        (r["url_a"], r["url_b"], round(r["est_jaccard"], 9))
+        for r in probe_store(spark, probe, store, CFG).collect()
+    )
+    assert maybe_compact_store(spark, store, max_batches=16) is None  # under policy
+    res = compact_store(spark, store)
+    assert res["bands"]["merged"] == 3 and res["signatures"]["merged"] == 3
+    for side in _store_subdirs(store):
+        ids = _side_batch_ids(side)
+        assert len(ids) == 1 and ids[0] <= -2, ids
+        man = _batch_manifest(side, f"batch_id={ids[0]}")
+        assert man.get("blooms"), "compacted manifest must carry key Blooms"
+        assert man.get("replaces"), "compacted manifest must list its sources"
+    after = sorted(
+        (r["url_a"], r["url_b"], round(r["est_jaccard"], 9))
+        for r in probe_store(spark, probe, store, CFG).collect()
+    )
+    assert before == after and len(before) > 0
+    # second compaction is a no-op; ingest on the compacted store still works
+    assert compact_store(spark, store)["bands"]["merged"] == 0
+    extra = df.limit(30).select(F.concat(F.lit("x-"), "url").alias("url"), "text")
+    incremental_dedup_batch(
+        spark, extra, store, CFG, epoch_id=3, n_store_buckets=4
+    ).count()
+    again = sorted(
+        (r["url_a"], r["url_b"], round(r["est_jaccard"], 9))
+        for r in probe_store(spark, probe, store, CFG).collect()
+    )
+    assert set(before).issubset(set(again))
