@@ -30,9 +30,14 @@ def get_spark(
     cores = default_parallelism()
     master = master or os.environ.get("SPARK_MASTER", f"local[{cores}]")
     if shuffle_partitions is None:
-        # 2× cores: enough tasks for AQE to coalesce down, few enough that
-        # small-scale runs aren't dominated by task overhead.
-        shuffle_partitions = 2 * cores
+        # 1× cores (still parameterised by SPARK_GRAFT_CPUS / executor
+        # count, never a constant): with AQE's skew-join splitting handling
+        # oversized partitions and advisory-size coalescing handling small
+        # ones, the static count is a fixed-task-overhead knob, not a
+        # skew-safety knob. Measured on the dedup e2e at 32 cores: 1× beats
+        # the old 2× on every sample (best 6.4 s vs 7.5 s) — half the tasks
+        # per reduce stage, same plans, same results.
+        shuffle_partitions = cores
 
     builder = (
         SparkSession.builder.appName(app_name)
